@@ -1,0 +1,40 @@
+"""Input / output normalizations (device-side).
+
+  * ``normalize_event_tensor`` — zero-mean/unit-std over the *nonzero* entries
+    of a voxel tensor (reference eval.py:398-410; used by E2VID & FireNet).
+  * ``post_process_normalization`` — none / robust (1-99 pct) / standard
+    (0-100 pct) / exprobust image normalization (reference eval.py:380-395,
+    utils/eval_utils.py:15-35). Percentiles use numpy's default linear
+    interpolation, which ``jnp.percentile`` matches.
+"""
+
+import jax.numpy as jnp
+
+
+def normalize_event_tensor(voxel):
+    nonzero = voxel != 0
+    num = jnp.sum(nonzero).astype(voxel.dtype)
+    safe = jnp.maximum(num, 1)
+    mean = jnp.sum(voxel) / safe
+    var = jnp.sum(voxel * voxel) / safe - mean * mean
+    std = jnp.maximum(jnp.sqrt(var), jnp.asarray(1e-6, voxel.dtype))
+    out = jnp.where(nonzero, (voxel - mean) / std, 0.0)
+    return jnp.where(num > 0, out, voxel)
+
+
+def robust_normalize(img, q_min, q_max):
+    lo = jnp.percentile(img.ravel(), q_min)
+    hi = jnp.percentile(img.ravel(), q_max)
+    return (img - lo) / (hi - lo)
+
+
+def post_process_normalization(img, norm):
+    if norm == "robust":
+        return robust_normalize(img, 1, 99)
+    if norm == "standard":
+        return robust_normalize(img, 0, 100)
+    if norm == "exprobust":
+        return robust_normalize(jnp.exp(img), 1, 99)
+    if norm == "none" or norm is None:
+        return img
+    raise ValueError(f"Unrecognized normalization argument: {norm}")

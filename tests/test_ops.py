@@ -1,0 +1,77 @@
+import numpy as np
+import pytest
+
+from evreal_tpu.ops.pad import CropParams
+from evreal_tpu.ops.normalize import normalize_event_tensor, post_process_normalization
+
+from .oracle import ref_module
+
+
+@pytest.mark.parametrize("h,w,enc", [(180, 240, 3), (260, 346, 3), (180, 240, 0),
+                                     (125, 133, 4), (256, 256, 3)])
+def test_crop_params_matches_reference(h, w, enc):
+    import torch
+
+    util = ref_module("utils.util")
+    ref = util.CropParameters(w, h, enc)
+    ours = CropParams(w, h, enc)
+    assert (ours.padding_top, ours.padding_bottom, ours.padding_left,
+            ours.padding_right) == (ref.padding_top, ref.padding_bottom,
+                                    ref.padding_left, ref.padding_right)
+    x = np.random.default_rng(0).normal(size=(1, 5, h, w)).astype(np.float32)
+    ref_padded = ref.pad(torch.tensor(x)).numpy()
+    ours_padded = np.asarray(ours.pad(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_array_equal(ours_padded.transpose(0, 3, 1, 2), ref_padded)
+    ref_crop = ref.crop(torch.tensor(ref_padded)).numpy()
+    ours_crop = np.asarray(ours.crop(ours_padded))
+    np.testing.assert_array_equal(ours_crop.transpose(0, 3, 1, 2), ref_crop)
+
+
+def test_normalize_event_tensor_matches_reference():
+    import torch
+
+    ev = ref_module("eval") if False else None  # eval.py needs pyiqa; use inline oracle
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(5, 16, 24)).astype(np.float32)
+    x[x < 0.3] = 0.0
+
+    # Oracle: reference eval.py:398-410 semantics via torch.
+    t = torch.tensor(x)
+    nonzero = t != 0
+    num = nonzero.sum()
+    mean = t.sum() / num
+    stddev = torch.sqrt((t ** 2).sum() / num - mean ** 2)
+    stddev = torch.max(stddev, torch.tensor(1e-6))
+    want = (nonzero.float() * (t - mean) / stddev).numpy()
+
+    got = np.asarray(normalize_event_tensor(x))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_normalize_event_tensor_all_zero():
+    x = np.zeros((5, 8, 8), np.float32)
+    got = np.asarray(normalize_event_tensor(x))
+    np.testing.assert_array_equal(got, 0)
+
+
+@pytest.mark.parametrize("norm", ["none", "robust", "standard", "exprobust"])
+def test_post_process_normalization_matches_reference(norm):
+    rng = np.random.default_rng(2)
+    img = rng.uniform(-0.2, 1.2, size=(64, 80)).astype(np.float32)
+
+    # Oracle: reference eval.py:380-395 + utils/eval_utils.py:15-35 (numpy).
+    def np_norm(im, qlo, qhi):
+        lo = np.percentile(im.ravel(), qlo)
+        hi = np.percentile(im.ravel(), qhi)
+        return (im - lo) / (hi - lo)
+
+    if norm == "robust":
+        want = np_norm(img, 1, 99)
+    elif norm == "standard":
+        want = np_norm(img, 0, 100)
+    elif norm == "exprobust":
+        want = np_norm(np.exp(img), 1, 99)
+    else:
+        want = img
+    got = np.asarray(post_process_normalization(img, norm))
+    np.testing.assert_allclose(got, want, atol=1e-5)
