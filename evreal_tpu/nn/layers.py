@@ -1,0 +1,215 @@
+"""Functional NN layers (NHWC, HWIO kernels), inference semantics.
+
+Parameter trees are nested dicts keyed by the reference's torch module paths
+(e.g. ``{'conv2d': {'weight': ..., 'bias': ...}}``) so converted checkpoints
+drop in directly; tensors are pre-transposed to JAX conventions by
+``evreal_tpu.convert`` (conv OIHW -> HWIO, linear (O,I) -> (I,O)).
+
+Semantics mirror the reference building blocks (EVREAL model/submodules.py):
+ConvLayer / UpsampleConvLayer / TransposedConvLayer / ResidualBlock and the
+norm variants they use, all in eval mode (BatchNorm & tracked InstanceNorm use
+running statistics).
+"""
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_EPS_BN = 1e-5
+
+ACTIVATIONS = {
+    None: None,
+    "": None,
+    "none": None,
+    "relu": jax.nn.relu,
+    "sigmoid": jax.nn.sigmoid,
+    "tanh": jnp.tanh,
+}
+
+
+def activation_fn(name):
+    if callable(name):
+        return name
+    return ACTIVATIONS[name]
+
+
+def conv2d(p, x, stride=1, padding=0, dilation=1):
+    """2-D convolution. x: NHWC, p['weight']: HWIO, optional p['bias']."""
+    if padding == "same":
+        kh, kw = p["weight"].shape[:2]
+        padding = ((kh - 1) // 2, (kw - 1) // 2)
+    if isinstance(padding, int):
+        padding = (padding, padding)
+    pad = [(padding[0], padding[0]), (padding[1], padding[1])]
+    out = lax.conv_general_dilated(
+        x, p["weight"], (stride, stride), pad,
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "bias" in p and p["bias"] is not None:
+        out = out + p["bias"]
+    return out
+
+
+def conv_transpose2d(p, x, stride=2, padding=0, output_padding=1):
+    """Matches torch ConvTranspose2d. p['weight'] is stored HWIO with the
+    spatial flip already applied by the converter (see convert/torch_ckpt.py),
+    so this reduces to an input-dilated convolution."""
+    k = p["weight"].shape[0]
+    lo = k - 1 - padding
+    hi = k - 1 - padding + output_padding
+    out = lax.conv_general_dilated(
+        x, p["weight"], (1, 1), [(lo, hi), (lo, hi)],
+        lhs_dilation=(stride, stride),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "bias" in p and p["bias"] is not None:
+        out = out + p["bias"]
+    return out
+
+
+def linear(p, x):
+    """p['weight']: (I, O) pre-transposed."""
+    out = x @ p["weight"]
+    if "bias" in p and p["bias"] is not None:
+        out = out + p["bias"]
+    return out
+
+
+def batch_norm(p, x):
+    """Eval-mode BatchNorm2d over NHWC channels using running statistics."""
+    inv = lax.rsqrt(p["running_var"] + _EPS_BN)
+    out = (x - p["running_mean"]) * inv
+    if "weight" in p and p["weight"] is not None:
+        out = out * p["weight"]
+    if "bias" in p and p["bias"] is not None:
+        out = out + p["bias"]
+    return out
+
+
+def instance_norm_tracked(p, x):
+    """InstanceNorm2d(track_running_stats=True) in eval mode == running-stat
+    normalization (affine=False by torch default)."""
+    inv = lax.rsqrt(p["running_var"] + _EPS_BN)
+    out = (x - p["running_mean"]) * inv
+    if "weight" in p:
+        out = out * p["weight"] + p["bias"]
+    return out
+
+
+def instance_norm(x):
+    """InstanceNorm2d(track_running_stats=False): per-sample, per-channel
+    statistics over H, W even in eval mode; no affine."""
+    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+    var = jnp.var(x, axis=(1, 2), keepdims=True)
+    return (x - mean) * lax.rsqrt(var + _EPS_BN)
+
+
+def layer_norm(p, x):
+    """torch nn.LayerNorm over the last dim, eps=1e-5."""
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mean) * lax.rsqrt(var + 1e-5) * p["weight"] + p["bias"]
+
+
+def _apply_norm(p, x, norm, tracked_in=True):
+    if norm == "BN":
+        return batch_norm(p["norm_layer"], x)
+    if norm == "IN":
+        if tracked_in:
+            return instance_norm_tracked(p["norm_layer"], x)
+        return instance_norm(x)
+    return x
+
+
+def resize_bilinear(x, out_h, out_w):
+    """torch F.interpolate(mode='bilinear', align_corners=False) equivalent
+    (no antialiasing on downsample, half-pixel centers). x: NHWC."""
+    n, _, _, c = x.shape
+    return jax.image.resize(x, (n, out_h, out_w, c), method="bilinear",
+                            antialias=False)
+
+
+def resize_nearest(x, out_h, out_w):
+    """torch F.interpolate(mode='nearest'): src = floor(dst * in/out)."""
+    h, w = x.shape[1], x.shape[2]
+    rows = jnp.floor(jnp.arange(out_h) * (h / out_h)).astype(jnp.int32)
+    cols = jnp.floor(jnp.arange(out_w) * (w / out_w)).astype(jnp.int32)
+    return x[:, rows][:, :, cols]
+
+
+def pixel_shuffle(x, r):
+    """torch nn.PixelShuffle on NHWC: (N,H,W,C*r^2) -> (N,H*r,W*r,C) with
+    torch channel ordering out[..., c] <- in[..., c*r^2 + i*r + j]."""
+    n, h, w, crr = x.shape
+    c = crr // (r * r)
+    x = x.reshape(n, h, w, c, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # n, h, r, w, r, c
+    return x.reshape(n, h * r, w * r, c)
+
+
+def unfold(x, kernel_size, stride=1, padding=0):
+    """torch F.unfold equivalent: NHWC -> (N, H', W', C*k*k) patches with
+    torch's (C, kh, kw) channel-major patch ordering."""
+    if isinstance(padding, int):
+        padding = (padding, padding)
+    patches = lax.conv_general_dilated_patches(
+        x, (kernel_size, kernel_size), (stride, stride),
+        [(padding[0], padding[0]), (padding[1], padding[1])],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    # conv_general_dilated_patches yields channels ordered as (C, kh, kw)
+    # with spatial-minor layout, matching torch unfold's ordering.
+    return patches
+
+
+# ---------------------------------------------------------------------------
+# Reference composite blocks (model/submodules.py).
+# ---------------------------------------------------------------------------
+
+def conv_layer(p, x, *, stride=1, padding=0, activation="relu", norm=None):
+    """ConvLayer (submodules.py:8-35): conv -> norm -> activation."""
+    out = conv2d(p["conv2d"], x, stride=stride, padding=padding)
+    out = _apply_norm(p, out, norm, tracked_in=True)
+    act = activation_fn(activation)
+    return act(out) if act is not None else out
+
+
+def upsample_conv_layer(p, x, *, padding=0, activation="relu", norm=None):
+    """UpsampleConvLayer (submodules.py:69-97): 2x bilinear then conv."""
+    n, h, w, _ = x.shape
+    up = resize_bilinear(x, 2 * h, 2 * w)
+    out = conv2d(p["conv2d"], up, stride=1, padding=padding)
+    out = _apply_norm(p, out, norm, tracked_in=True)
+    act = activation_fn(activation)
+    return act(out) if act is not None else out
+
+
+def transposed_conv_layer(p, x, *, padding=0, activation="relu", norm=None):
+    """TransposedConvLayer (submodules.py:38-66): stride-2 deconv."""
+    out = conv_transpose2d(p["transposed_conv2d"], x, stride=2,
+                           padding=padding, output_padding=1)
+    out = _apply_norm(p, out, norm, tracked_in=True)
+    act = activation_fn(activation)
+    return act(out) if act is not None else out
+
+
+def residual_block(p, x, *, norm=None):
+    """ResidualBlock (submodules.py:152-184). Note: norm='IN' here uses
+    untracked InstanceNorm (instance statistics at eval)."""
+    residual = x
+    out = conv2d(p["conv1"], x, stride=1, padding=1)
+    if norm == "BN":
+        out = batch_norm(p["bn1"], out)
+    elif norm == "IN":
+        out = instance_norm(out)
+    out = jax.nn.relu(out)
+    out = conv2d(p["conv2"], out, stride=1, padding=1)
+    if norm == "BN":
+        out = batch_norm(p["bn2"], out)
+    elif norm == "IN":
+        out = instance_norm(out)
+    if "downsample" in p:
+        residual = conv2d(p["downsample"], x)
+    out = out + residual
+    return jax.nn.relu(out)
