@@ -57,7 +57,8 @@ def convert_tensor(key, t):
     a = t.detach().cpu().numpy() if hasattr(t, "detach") else np.asarray(t)
     if key.endswith("num_batches_tracked"):
         return None
-    if a.ndim == 4 and key.endswith("weight"):
+    if a.ndim == 4 and (key.endswith("weight")
+                        or key.endswith("compositional_coefficients")):
         if any(m in key for m in _TRANSPOSED_CONV_MARKERS):
             # torch ConvTranspose2d weight (I, O, kh, kw): flip spatial and
             # lay out as HWIO so conv_transpose2d() is an ordinary conv.

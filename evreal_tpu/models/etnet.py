@@ -1,2 +1,87 @@
+"""ET-Net (reference model/eitr/: EITR wrapping mls_tpa, u_trans.py:12-123).
+
+CNN encoder (3 recurrent stride-2 stages) -> 3-scale tokenization to d=256 at
+H/8 x W/8 -> per-scale pre-LN transformer encoders + decoders with cross-scale
+memory -> average of the 6 streams -> 3 upsample decoders with sum skips ->
+1x1 pred + sigmoid.
+
+Requires H, W divisible by 8 (the harness pads with num_encoders=3,
+eval.py:152-153).
+"""
+
+import jax
+import jax.numpy as jnp
+
+from evreal_tpu.nn.attention import (
+    sinusoid_table,
+    transformer_decoder,
+    transformer_encoder,
+)
+from evreal_tpu.nn.cells import conv_lstm_zero_state, recurrent_conv_layer
+from evreal_tpu.nn.layers import conv2d, conv_layer, upsample_conv_layer
+
+
 class EITR:
-    def __init__(self, **k): raise NotImplementedError
+    def __init__(self, eitr_kwargs=None, num_bins=5, norm=None, **_):
+        if eitr_kwargs:
+            num_bins = eitr_kwargs.get("num_bins", num_bins)
+            norm = eitr_kwargs.get("norm", norm)
+        self.num_bins = int(num_bins)
+        self.norm = None if norm in (None, "none") else str(norm)
+        self.num_encoders = 3  # forced by the harness (eval.py:152-153)
+        self.channels = [64, 128, 256]
+
+    def init_state(self, batch, h, w, dtype=jnp.float32):
+        states = []
+        hh, ww = h, w
+        for c in self.channels:
+            hh, ww = (hh + 1) // 2, (ww + 1) // 2
+            states.append(conv_lstm_zero_state(batch, hh, ww, c, dtype))
+        return states
+
+    def apply(self, params, state, voxel):
+        p = params
+        n, h, w, _ = voxel.shape
+        x = conv_layer(p["head"], voxel, stride=1, padding=2,
+                       activation="relu", norm=self.norm)
+        head = x
+
+        blocks = []
+        new_states = []
+        for i in range(3):
+            x, st = recurrent_conv_layer(
+                p["DownsampleConv"][str(i)], x, state[i], kernel_size=5,
+                stride=2, padding=2, recurrent_block_type="convlstm",
+                activation="relu", norm=self.norm)
+            blocks.append(x)
+            new_states.append(st)
+
+        h8, w8 = blocks[2].shape[1], blocks[2].shape[2]
+        l = h8 * w8
+        pos = sinusoid_table(l, 256)[None]  # (1, L, 256)
+
+        # scale 0: 1x1 unfold of the H/8 feature map == flatten
+        words0 = blocks[2].reshape(n, l, 256)
+        hs0 = transformer_encoder(p["trans_encoder0"], words0, pos)
+        # scale 1: H/4 map patchified 2x2 -> H/8
+        w1 = conv2d(p["split1"], blocks[1], stride=2, padding=0)
+        hs1 = transformer_encoder(p["trans_encoder1"], w1.reshape(n, l, 256), pos)
+        # scale 2: H/2 map patchified 4x4 -> H/8
+        w2 = conv2d(p["split2"], blocks[0], stride=4, padding=0)
+        hs2 = transformer_encoder(p["trans_encoder2"], w2.reshape(n, l, 256), pos)
+
+        hc0 = transformer_decoder(p["trans_decoder0"], hs0, hs0)
+        hc1 = transformer_decoder(p["trans_decoder1"], hs1, hs0)
+        hc2 = transformer_decoder(p["trans_decoder2"], hs2, hs1)
+
+        hs = (hs0 + hs1 + hs2 + hc0 + hc1 + hc2) / 6
+        x = hs.reshape(n, h8, w8, 256)
+
+        for i in range(3):
+            x = upsample_conv_layer(p["UpsampleConv"][str(i)],
+                                    x + blocks[2 - i], padding=2,
+                                    norm=self.norm)
+
+        img = conv_layer(p["pred"], x + head, padding=0, activation=None,
+                         norm=self.norm)
+        return {"image": jax.nn.sigmoid(img)}, new_states

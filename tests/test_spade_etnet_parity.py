@@ -1,0 +1,62 @@
+"""Parity: SPADE-E2VID and ET-Net vs reference torch implementations
+(random weights, multi-step rollouts, running BN stats randomized)."""
+
+import numpy as np
+
+from evreal_tpu.convert import convert_state_dict, nest
+from evreal_tpu.models import build_model
+
+from .oracle import ref_module
+from .test_firenet_parity import make_voxels, rollout_ours, rollout_ref
+
+
+def _randomize_running_stats(model, seed=0):
+    """Shipped checkpoints carry trained BN stats; emulate with random ones."""
+    import torch
+
+    g = torch.Generator().manual_seed(seed)
+    for m in model.modules():
+        if hasattr(m, "running_mean") and m.running_mean is not None:
+            m.running_mean.copy_(torch.randn(m.running_mean.shape, generator=g) * 0.1)
+            m.running_var.copy_(torch.rand(m.running_var.shape, generator=g) + 0.5)
+
+
+def test_spade_e2vid_parity():
+    import torch
+
+    torch.manual_seed(3)
+    spade_mod = ref_module("model.spade_e2v")
+    ref_model = spade_mod.Unet6()
+    _randomize_running_stats(ref_model, seed=4)
+    ref_model.eval()
+    ref_model.reset_states()
+
+    params = nest(convert_state_dict(ref_model.state_dict()))
+    model = build_model("SpadeE2vid")
+
+    vox = make_voxels(3, 1, 5, 32, 40, seed=5)
+    ours = rollout_ours(model, params, vox)
+    ref = rollout_ref(ref_model, [v.transpose(0, 3, 1, 2).copy() for v in vox])
+    for t, (o, r) in enumerate(zip(ours, ref)):
+        np.testing.assert_allclose(o.transpose(0, 3, 1, 2), r, atol=2e-4,
+                                   err_msg=f"step {t}")
+
+
+def test_etnet_parity():
+    import torch
+
+    torch.manual_seed(6)
+    eitr_mod = ref_module("model.eitr.eitr")
+    ref_model = eitr_mod.EITR({"num_bins": 5, "norm": None})
+    ref_model.eval()
+    ref_model.reset_states()
+
+    params = nest(convert_state_dict(ref_model.state_dict()))
+    model = build_model("EITR", {"eitr_kwargs": {"num_bins": 5, "norm": None}})
+
+    vox = make_voxels(2, 1, 5, 32, 40, seed=7)  # 32,40 divisible by 8
+    ours = rollout_ours(model, params, vox)
+    ref = rollout_ref(ref_model, [v.transpose(0, 3, 1, 2) for v in vox])
+    for t, (o, r) in enumerate(zip(ours, ref)):
+        np.testing.assert_allclose(o.transpose(0, 3, 1, 2), r, atol=2e-4,
+                                   err_msg=f"step {t}")
