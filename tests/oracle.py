@@ -54,6 +54,18 @@ def ref_module(dotted):
     if REF not in sys.path:
         sys.path.insert(0, REF)
     _stub_torchvision()
+    if "." not in dotted:
+        # top-level module file, e.g. 'dataset'
+        import importlib.util
+
+        name = f"ref_{dotted}"
+        if name not in sys.modules:
+            spec = importlib.util.spec_from_file_location(
+                name, f"{REF}/{dotted}.py")
+            mod = importlib.util.module_from_spec(spec)
+            sys.modules[name] = mod
+            spec.loader.exec_module(mod)
+        return sys.modules[name]
     root = dotted.split(".")[0]
     _ensure_pkg(root, f"{REF}/{root}")
     # Nested packages (model.hyper, model.eitr) need their own path entries.

@@ -1,0 +1,77 @@
+"""Data-layer parity: Sequence windowing + device voxelization vs the
+reference MemMapDataset over all three voxel methods."""
+
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/repo/tools")
+from make_synthetic_sequence import make_sequence  # noqa: E402
+
+from evreal_tpu.data import Sequence, pack_windows
+from evreal_tpu.ops.voxelize import voxelize
+
+from .oracle import ref_module
+
+
+@pytest.fixture(scope="module")
+def seq_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("data") / "synthetic"
+    make_sequence(str(d), height=32, width=48, duration_s=1.0, fps=20,
+                  events_per_frame=800, seed=3)
+    return str(d)
+
+
+VOXEL_METHODS = [
+    {"method": "between_frames"},
+    {"method": "t_seconds", "t": 0.06, "sliding_window_t": 0},
+    {"method": "k_events", "k": 1500, "sliding_window_w": 0},
+]
+
+
+@pytest.mark.parametrize("vm", VOXEL_METHODS, ids=lambda m: m["method"])
+def test_windows_match_reference(seq_dir, vm):
+    ds_mod = ref_module("dataset")
+    ref = ds_mod.MemMapDataset(seq_dir, num_bins=5, voxel_method=dict(vm))
+    ours = Sequence(seq_dir, num_bins=5, voxel_method=dict(vm))
+    assert len(ours) == len(ref)
+
+    indices = list(range(len(ours)))
+    buffers, metas = pack_windows(ours, indices)
+
+    for i in indices:
+        item = ref[i]
+        meta = metas[i]
+        assert meta["event_count"] == item["event_count"]
+        np.testing.assert_allclose(meta["dt"], item["dt"].item(), rtol=1e-9)
+        np.testing.assert_allclose(meta["voxel_timestamp"],
+                                   item["voxel_timestamp"].item(), rtol=1e-9)
+        np.testing.assert_allclose(meta["frame_timestamp"],
+                                   item["frame_timestamp"].item(), rtol=1e-9)
+        frame = ours.frame(meta["frame_index"])
+        np.testing.assert_allclose(frame, item["frame"][0].numpy(), atol=1e-7)
+
+        got = np.asarray(voxelize(
+            buffers["xs"][i], buffers["ys"][i], buffers["ts"][i],
+            buffers["ps"][i], buffers["count"][i], num_bins=5,
+            sensor_size=ours.sensor_resolution))
+        np.testing.assert_allclose(got, item["events"].numpy(), atol=1e-4,
+                                   err_msg=f"window {i}")
+
+
+def test_keep_ratio_seeded(seq_dir):
+    a = Sequence(seq_dir, keep_ratio=0.5, seed=7)
+    b = Sequence(seq_dir, keep_ratio=0.5, seed=7)
+    c = Sequence(seq_dir, keep_ratio=0.5, seed=8)
+    assert a.frames_to_use == b.frames_to_use
+    assert a.frames_to_use != c.frames_to_use
+    assert len(a) == int(a.num_frames * 0.5) - 1
+
+
+def test_min_max_t(seq_dir):
+    ds_mod = ref_module("dataset")
+    ref = ds_mod.MemMapDataset(seq_dir, num_bins=5)
+    ours = Sequence(seq_dir, num_bins=5)
+    assert ours.get_min_max_t() == ref.get_min_max_t()
+    assert ours.sensor_resolution == tuple(ref.sensor_resolution)
