@@ -1,0 +1,73 @@
+"""Histogram equalization variants (reference utils/eval_metrics.py:326-350).
+
+'global' reimplements skimage.exposure.equalize_hist (256-bin CDF
+interpolation); 'clahe' uses cv2 exactly like the reference; 'local'
+(skimage rank.equalize over a disk(55) footprint) is implemented with an
+exact sliding-histogram equivalent via cv2 filtering per gray level.
+"""
+
+import numpy as np
+
+
+def _img_as_ubyte(img):
+    return np.round(np.clip(img, 0, 1) * 255).astype(np.uint8)
+
+
+def equalize_global(img):
+    """skimage.exposure.equalize_hist(img, nbins=256) then img_as_float32."""
+    flat = img.ravel()
+    hist, bin_edges = np.histogram(flat, bins=256)
+    bin_centers = (bin_edges[:-1] + bin_edges[1:]) / 2
+    cdf = np.cumsum(hist).astype(np.float64)
+    cdf /= cdf[-1]
+    out = np.interp(flat, bin_centers, cdf).reshape(img.shape)
+    return out.astype(np.float32)
+
+
+def equalize_clahe(img):
+    import cv2
+
+    clahe = cv2.createCLAHE(clipLimit=2.0, tileGridSize=(8, 8))
+    return (clahe.apply(_img_as_ubyte(img)) / 255.0).astype(np.float32)
+
+
+def _disk(radius):
+    y, x = np.mgrid[-radius:radius + 1, -radius:radius + 1]
+    return (x * x + y * y <= radius * radius).astype(np.uint8)
+
+
+def equalize_local(img, radius=55):
+    """skimage.filters.rank.equalize(img_as_ubyte(img), disk(55)) equivalent:
+    per pixel, rank of the center value within the footprint histogram,
+    normalized by footprint population. Computed as a stack of box-filtered
+    indicator images (one per occupied gray level)."""
+    import cv2
+
+    u = _img_as_ubyte(img)
+    footprint = _disk(radius).astype(np.float32)
+    pop = cv2.filter2D(np.ones_like(u, np.float32), -1, footprint,
+                       borderType=cv2.BORDER_CONSTANT)
+    cum = np.zeros(u.shape, np.float32)
+    out = np.zeros(u.shape, np.float32)
+    for level in np.unique(u):
+        mask = (u == level).astype(np.float32)
+        cnt = cv2.filter2D(mask, -1, footprint,
+                           borderType=cv2.BORDER_CONSTANT)
+        cum = cum + cnt
+        sel = u == level
+        out[sel] = cum[sel]
+    out = out / pop
+    # rank.equalize returns uint8 (rounded), then img_as_float32 -> /255
+    return (np.round(out * 255).astype(np.uint8) / 255.0).astype(np.float32)
+
+
+def histogram_equalization(img, mode):
+    if mode == "none" or mode is None:
+        return img
+    if mode == "global":
+        return equalize_global(img)
+    if mode == "clahe":
+        return equalize_clahe(img)
+    if mode == "local":
+        return equalize_local(img)
+    raise ValueError(f"Unrecognized histogram equalization argument: {mode}")

@@ -1,0 +1,452 @@
+"""Evaluation driver: the TPU-native counterpart of the reference eval loop
+(eval.py:189-455).
+
+Instead of a per-frame Python loop with three host<->device crossings per
+frame (reference §3.1: CPU voxelize -> GPU forward -> CPU metrics), whole
+chunks of T windows run as one compiled XLA program:
+
+    packed events (T,E) -> voxelize (vmap) -> input norm -> pad ->
+    lax.scan(model) -> crop -> post-norm -> clip  [+ batched metrics]
+
+Only packed event buffers go up and images/score scalars come back. Programs
+are cached per (method, padded resolution, event-capacity bucket); recurrent
+state is donated between chunks.
+"""
+
+import glob
+import os
+import traceback
+from collections import OrderedDict
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from evreal_tpu.convert import load_method_checkpoint, load_params, nest, save_params
+from evreal_tpu.data import Sequence, pack_windows, bucket_capacity
+from evreal_tpu.harness import histeq as histeq_mod
+from evreal_tpu.harness.config import (
+    get_dataset_configs,
+    get_eval_configs,
+    get_method_config,
+)
+from evreal_tpu.harness.tables import color_error, color_progress, print_scores
+from evreal_tpu.harness.timers import DeviceTimer
+from evreal_tpu.metrics import functional as F
+from evreal_tpu.metrics import lpips as lpips_mod
+from evreal_tpu.metrics.tracker import EvalMetricsTracker, MetricTracker
+from evreal_tpu.models import build_from_meta
+from evreal_tpu.ops.normalize import normalize_event_tensor, post_process_normalization
+from evreal_tpu.ops.pad import CropParams
+from evreal_tpu.ops.voxelize import voxelize_matmul, voxelize_scatter
+
+DEFAULT_CHUNK_T = 32
+NO_REF_METRICS = ()  # no-reference metrics land here when implemented
+
+
+# ---------------------------------------------------------------------------
+# model loading
+# ---------------------------------------------------------------------------
+
+def load_method_params(method_config):
+    """Resolve a method's converted-param file; auto-convert a sibling
+    torch ``.pth`` on first use (conversion is offline-torch, eval is pure JAX)."""
+    path = method_config["model_path"]
+    if not os.path.isabs(path) and not os.path.exists(path):
+        repo = os.path.abspath(os.path.join(os.path.dirname(__file__),
+                                            os.pardir, os.pardir))
+        candidate = os.path.join(repo, path)
+        if os.path.exists(candidate) or os.path.exists(
+                os.path.splitext(candidate)[0] + ".pth"):
+            path = candidate
+    if not path.endswith(".npz"):
+        path = os.path.splitext(path)[0] + ".npz"
+    if not os.path.exists(path):
+        pth = os.path.splitext(path)[0] + ".pth"
+        if not os.path.exists(pth):
+            raise FileNotFoundError(
+                f"neither {path} nor {pth} exists; place the reference "
+                f"checkpoint at {pth} (it will be converted on first use)")
+        flat, meta = load_method_checkpoint(method_config["model_name"], pth)
+        try:
+            save_params(path, flat, meta)
+        except OSError:
+            pass
+        return nest(flat), meta
+    return load_params(path)
+
+
+# ---------------------------------------------------------------------------
+# compiled per-method pipeline
+# ---------------------------------------------------------------------------
+
+class MethodRunner:
+    """Chunked, compiled eval pipeline for one (model, sensor resolution)."""
+
+    def __init__(self, model, params, *, event_norm, post_norm, height, width,
+                 num_bins, chunk_t=DEFAULT_CHUNK_T, voxelize_impl=None):
+        self.model = model
+        self.params = params
+        self.event_norm = event_norm
+        self.post_norm = post_norm
+        self.h, self.w = height, width
+        self.num_bins = num_bins
+        self.chunk_t = chunk_t
+        self.crop = CropParams(width, height, model.num_encoders)
+        if voxelize_impl is None:
+            voxelize_impl = ("matmul" if jax.default_backend() == "tpu"
+                             else "scatter")
+        self._vox = (voxelize_matmul if voxelize_impl == "matmul"
+                     else voxelize_scatter)
+        self._fns = {}
+        self._metric_fn = None
+
+    def init_state(self):
+        ph, pw = self.crop.padded_shape
+        return self.model.init_state(1, ph, pw)
+
+    def _build(self, capacity):
+        model, crop = self.model, self.crop
+        num_bins, hw = self.num_bins, (self.h, self.w)
+        vox_fn = self._vox
+        event_norm, post_norm = self.event_norm, self.post_norm
+
+        def fn(params, state, xs, ys, ts, ps, count):
+            def one_voxel(x, y, t, p, c):
+                v = vox_fn(x, y, t, p, c, num_bins, hw)
+                return jnp.transpose(v, (1, 2, 0))  # HWC
+
+            vox = jax.vmap(one_voxel)(xs, ys, ts, ps, count)
+            if event_norm:
+                vox = jax.vmap(normalize_event_tensor)(vox)
+            vox = crop.pad(vox)
+
+            def step(st, v):
+                out, st = model.apply(params, st, v[None])
+                return st, out["image"][0]
+
+            state, imgs = jax.lax.scan(step, state, vox)
+            imgs = crop.crop(imgs)[..., 0]  # (T, H, W)
+            imgs = jax.vmap(lambda im: post_process_normalization(
+                im, post_norm))(imgs)
+            clipped = jnp.clip(imgs, 0.0, 1.0)
+            return state, imgs, clipped
+
+        return jax.jit(fn, donate_argnums=(1,))
+
+    def run(self, state, buffers):
+        capacity = buffers["xs"].shape[1]
+        if capacity not in self._fns:
+            self._fns[capacity] = self._build(capacity)
+        return self._fns[capacity](self.params, state, buffers["xs"],
+                                   buffers["ys"], buffers["ts"],
+                                   buffers["ps"], buffers["count"])
+
+    def metric_scores(self, metric_names, clipped, refs):
+        """Batched metric evaluation: (T,H,W) images vs refs -> name->(T,)."""
+        if self._metric_fn is None:
+            names = [n for n in metric_names if n in ("mse", "ssim", "lpips")]
+            lpips_w = (lpips_mod.load_weights()
+                       if "lpips" in names and lpips_mod.weights_available()
+                       else None)
+
+            @jax.jit
+            def mfn(imgs, refs):
+                out = {}
+                if "mse" in names:
+                    out["mse"] = jax.vmap(F.mse)(imgs, refs)
+                if "ssim" in names:
+                    out["ssim"] = jax.vmap(F.ssim)(imgs, refs)
+                if lpips_w is not None:
+                    out["lpips"] = jax.vmap(
+                        lambda a, b: lpips_mod.lpips(lpips_w, a, b)[0])(
+                            imgs, refs)
+                return out
+
+            self._metric_fn = mfn
+        return {k: np.asarray(v)
+                for k, v in self._metric_fn(clipped, refs).items()}
+
+
+# ---------------------------------------------------------------------------
+# sequence / dataset assembly (reference eval.py:38-106)
+# ---------------------------------------------------------------------------
+
+def get_sequences(dataset_config, dataset_kwargs, seed=0):
+    dataset_root = dataset_config["root_path"]
+    get_all = dataset_config.get("get_all_sequences", False)
+    has_subfolders = dataset_config.get("has_subfolders", False)
+    dataset_kwargs = dict(dataset_kwargs)
+    dataset_kwargs.update(dataset_config.get("dataset_kwargs", {}))
+    sequences = []
+
+    if get_all:
+        pattern = os.path.join(dataset_root, "*", "*") if has_subfolders \
+            else os.path.join(dataset_root, "*")
+        seq_cfg = OrderedDict()
+        for path in sorted(glob.glob(pattern)):
+            if not os.path.isdir(path):
+                continue
+            name = (os.path.basename(os.path.dirname(path)) + "_" +
+                    os.path.basename(path)) if has_subfolders \
+                else os.path.basename(path)
+            seq_cfg[name] = {"sequence_path": path}
+    else:
+        seq_cfg = dataset_config.get("sequences", {})
+
+    for name, seq in seq_cfg.items():
+        seq = dict(seq)
+        seq_path = seq.get("sequence_path",
+                           os.path.join(dataset_root, name))
+        seq["name"] = name
+        dataset = Sequence(seq_path, seed=seed, **dataset_kwargs)
+        seq["dataset"] = dataset
+        min_t, max_t = dataset.get_min_max_t()
+        seq.setdefault("start_time_s", min_t)
+        seq.setdefault("end_time_s", max_t)
+        sequences.append(seq)
+    return sequences
+
+
+def get_datasets(dataset_configs, dataset_kwargs):
+    return [{"name": c["name"],
+             "sequences": get_sequences(c, dataset_kwargs)}
+            for c in dataset_configs]
+
+
+# ---------------------------------------------------------------------------
+# per-sequence eval (reference eval.py:189-246)
+# ---------------------------------------------------------------------------
+
+def eval_method_on_sequence(dataset_name, eval_config, method_name, bundle,
+                            method_config, sequence, metrics):
+    seq = sequence["dataset"]
+    color = eval_config.get("color", False)
+    save_images = eval_config.get("save_images", True)
+    hist_eq = eval_config.get("histeq", "none")
+    output_dir = os.path.join("outputs", eval_config["name"], dataset_name,
+                              sequence["name"], method_name)
+
+    known = [m for m in metrics if m in ("mse", "ssim", "lpips")]
+    for m in metrics:
+        if m not in known:
+            print(f"Unknown metric {m}")
+    if "lpips" in known and not lpips_mod.weights_available():
+        print("lpips weights unavailable (see tools/convert_lpips.py); "
+              "skipping lpips")
+        known = [m for m in known if m != "lpips"]
+
+    tracker = EvalMetricsTracker(
+        save_images=save_images,
+        save_processed_images=save_images and hist_eq != "none",
+        output_dir=output_dir, hist_eq=hist_eq,
+        quan_eval_metric_names=known,
+        quan_eval_start_time=sequence["start_time_s"],
+        quan_eval_end_time=sequence["end_time_s"],
+        quan_eval_ts_tol_ms=eval_config["ts_tol_ms"],
+        has_reference_frames=seq.has_images, color=color,
+        no_ref_metric_names=NO_REF_METRICS)
+
+    eval_infer_all = eval_config.get("eval_infer_all", False)
+    start, end = sequence["start_time_s"], sequence["end_time_s"]
+
+    metas_all = [seq.window(i) for i in range(len(seq))]
+    proc = []
+    for i, m in enumerate(metas_all):
+        ts = m["voxel_timestamp"]
+        if not eval_infer_all:
+            if ts < start - 10:
+                continue  # reference eval.py:212-213
+            if ts > end:
+                break  # reference eval.py:214-216
+        proc.append(i)
+
+    runner = bundle.runner_for(seq.sensor_resolution, method_config,
+                               seq.num_bins)
+    state = runner.init_state()
+    chunk_t = runner.chunk_t
+    capacity = bucket_capacity(max((metas_all[i]["event_count"]
+                                    for i in proc), default=0))
+
+    for c0 in range(0, len(proc), chunk_t):
+        chunk = proc[c0:c0 + chunk_t]
+        buffers, metas = pack_windows(seq, chunk, capacity=capacity)
+        valid_t = len(chunk)
+        if valid_t < chunk_t:  # pad last chunk to the compiled T
+            for key in ("xs", "ys", "ts", "ps"):
+                buffers[key] = np.pad(
+                    buffers[key], ((0, chunk_t - valid_t), (0, 0)))
+            buffers["count"] = np.pad(buffers["count"],
+                                      (0, chunk_t - valid_t))
+
+        with DeviceTimer(method_name, frames=valid_t):
+            state, images, clipped = runner.run(state, buffers)
+            images.block_until_ready()
+        images = np.asarray(images)[:valid_t]
+        clipped_np = np.asarray(clipped)[:valid_t]
+
+        # reference frames + processed variants
+        refs = None
+        if seq.has_images:
+            refs = np.stack([seq.frame(m["frame_index"]) for m in metas])
+        if hist_eq != "none":
+            proc_imgs = np.stack([histeq_mod.histogram_equalization(im, hist_eq)
+                                  for im in clipped_np])
+            proc_refs = (np.stack([histeq_mod.histogram_equalization(
+                np.clip(r, 0, 1), hist_eq) for r in refs])
+                if refs is not None else None)
+        else:
+            proc_imgs, proc_refs = clipped_np, refs
+
+        scores = {}
+        if known and refs is not None and not color:
+            scores = runner.metric_scores(known, jnp.asarray(proc_imgs),
+                                          jnp.asarray(proc_refs))
+
+        for j, (i, meta) in enumerate(zip(chunk, metas)):
+            frame_scores = {k: v[j] for k, v in scores.items()}
+            tracker.update(
+                i, images[j],
+                refs[j] if refs is not None else None,
+                meta["voxel_timestamp"],
+                meta["frame_timestamp"] if seq.has_images else None,
+                scores=frame_scores,
+                processed_img=proc_imgs[j] if hist_eq != "none" else None)
+            if meta["event_count"] <= 1 or meta["dt"] == 0:
+                event_rate = 0
+            else:
+                event_rate = meta["event_count"] / meta["dt"]
+            tracker.save_custom_metric(i, "event_rate", event_rate)
+
+    tracker.finalize(proc[-1] if proc else 0)
+    if eval_config.get("create_video", False):
+        tracker.create_video()
+        if hist_eq != "none":
+            tracker.create_processed_video()
+    return tracker.get_num_quan_evaluations(), tracker.get_mean_scores()
+
+
+# ---------------------------------------------------------------------------
+# method bundle: params + per-resolution runners
+# ---------------------------------------------------------------------------
+
+class MethodBundle:
+    def __init__(self, method_name, method_config):
+        self.method_name = method_name
+        self.method_config = method_config
+        params, meta = load_method_params(method_config)
+        self.params = params
+        self.model = build_from_meta(meta)
+        self._runners = {}
+
+    def runner_for(self, sensor_resolution, method_config, num_bins):
+        key = tuple(sensor_resolution)
+        if key not in self._runners:
+            h, w = sensor_resolution
+            self._runners[key] = MethodRunner(
+                self.model, self.params,
+                event_norm=method_config.get("event_tensor_normalization",
+                                             False),
+                post_norm=method_config.get("post_process_norm", "none"),
+                height=h, width=w, num_bins=num_bins)
+        return self._runners[key]
+
+
+# ---------------------------------------------------------------------------
+# top-level loops (reference eval.py:333-455)
+# ---------------------------------------------------------------------------
+
+def eval_method_with_config(eval_config, method_name, datasets, metrics):
+    num_sequences = sum(len(d["sequences"]) for d in datasets)
+    method_config = get_method_config(method_name)
+    print(color_progress("Starting method " + method_name))
+    color = eval_config.get("color", False)
+    method_metrics = []
+    try:
+        bundle = MethodBundle(method_name, method_config)
+        if color:
+            raise NotImplementedError(
+                "color (ColorNet) evaluation not implemented yet")
+    except Exception as e:  # noqa: BLE001 — containment, reference eval.py:344-352
+        print(color_error(f"Exception while getting method {method_name}"))
+        print(color_error(str(e)))
+        print(color_error(traceback.format_exc()))
+        return method_metrics
+
+    seq_no = 1
+    for dataset in datasets:
+        dataset_metrics = None
+        try:
+            dataset_metrics = MetricTracker()
+            for sequence in dataset["sequences"]:
+                print(color_progress(
+                    f"Evaluating {method_name} method with "
+                    f"{eval_config['name']} evaluation config on "
+                    f"{sequence['name']} sequence from {dataset['name']} "
+                    f"dataset. ({seq_no}/{num_sequences} for this method "
+                    f"and config)"))
+                num_eval, mean_scores = eval_method_on_sequence(
+                    dataset["name"], eval_config, method_name, bundle,
+                    method_config, sequence, metrics)
+                seq_no += 1
+                for metric_name, score in mean_scores.items():
+                    dataset_metrics.update(metric_name, score, num_eval)
+        except Exception as e:  # noqa: BLE001 — containment, eval.py:369-375
+            print(color_error(f"Exception while evaluating method "
+                              f"{method_name} on {dataset['name']} dataset:"))
+            print(color_error(str(e)))
+            print(color_error(traceback.format_exc()))
+        finally:
+            if dataset_metrics:
+                method_metrics.append(dataset_metrics)
+    return method_metrics
+
+
+def get_eval_info_str(eval_config, method_names, dataset_configs):
+    if len(method_names) > 1:
+        methods_str = "methods " + method_names[0]
+        for m in method_names[1:-1]:
+            methods_str += ", " + m
+        methods_str += " and " + method_names[-1]
+    else:
+        methods_str = "method " + method_names[0]
+    if len(dataset_configs) > 1:
+        datasets_str = dataset_configs[0]["name"]
+        for d in dataset_configs[1:-1]:
+            datasets_str += ", " + d["name"]
+        datasets_str += " and " + dataset_configs[-1]["name"] + " datasets"
+    else:
+        datasets_str = dataset_configs[0]["name"] + " dataset"
+    return ("evaluating " + methods_str + " on " + datasets_str + " with " +
+            eval_config["name"] + " evaluation config")
+
+
+def evaluate(method_names=None, eval_config_names=None, dataset_names=None,
+             metrics=None):
+    """Drop-in equivalent of the reference ``evaluate`` (eval.py:413-444)."""
+    if method_names is None:
+        method_names = ["E2VID", "E2VID+", "FireNet", "FireNet+",
+                        "SPADE-E2VID", "SSL-E2VID", "ET-Net", "HyperE2VID"]
+    if eval_config_names is None:
+        eval_config_names = ["std"]
+    if dataset_names is None:
+        dataset_names = ["ECD", "MVSEC", "HQF"]
+    if metrics is None:
+        metrics = ["mse", "ssim", "lpips"]
+    eval_configs = get_eval_configs(eval_config_names)
+    dataset_configs = get_dataset_configs(dataset_names)
+    for eval_config in eval_configs:
+        dataset_kwargs = eval_config.get("dataset_kwargs", {})
+        datasets = get_datasets(dataset_configs, dataset_kwargs)
+        info = get_eval_info_str(eval_config, method_names, dataset_configs)
+        print(color_progress("Started " + info))
+        config_all_metrics = []
+        for method_name in method_names:
+            config_all_metrics.append(
+                eval_method_with_config(eval_config, method_name, datasets,
+                                        metrics))
+        print(color_progress("Finished " + info))
+        names = [d["name"] for d in datasets]
+        print_scores(config_all_metrics, method_names, names,
+                     eval_config["name"])

@@ -1,0 +1,173 @@
+"""Score tracking and per-sequence output orchestration.
+
+``EvalMetricsTracker`` mirrors the reference class of the same name
+(utils/eval_metrics.py:162-350): output tree layout, txt formats, clipping,
+PNG saving, hist-eq'd processed copies, quantitative gating on the eval time
+window and img<->ref timestamp tolerance, NaN/inf score dropping, and
+count-weighted aggregation via ``MetricTracker`` (eval.py:249-276).
+
+Metric *values* are computed on device by the runner and passed in; the
+batch-of-4 GPU queue of the reference's pyiqa path is unnecessary (scores are
+identical, throughput comes from whole-chunk batching instead).
+"""
+
+import math
+import os
+import shutil
+
+from evreal_tpu.harness.outputs import (
+    append_result,
+    append_timestamp,
+    ensure_dir,
+    save_inferred_image,
+    truncate,
+)
+
+import numpy as np
+
+
+class MetricTracker:
+    def __init__(self):
+        self.data = {}
+
+    def _init_key(self, key):
+        self.data[key] = {"total": 0.0, "count": 0, "average": 0.0}
+
+    def update(self, key, value, count=1):
+        if count == 0:
+            return
+        if key not in self.data:
+            self._init_key(key)
+        d = self.data[key]
+        d["total"] += value * count
+        d["count"] += count
+        d["average"] = d["total"] / d["count"]
+
+    def get_average(self, key):
+        if key not in self.data:
+            self._init_key(key)
+        return self.data[key]["average"]
+
+    def get_count(self, key):
+        if key not in self.data:
+            self._init_key(key)
+        return self.data[key]["count"]
+
+    def keys(self):
+        return self.data.keys()
+
+
+class EvalMetricsTracker:
+    def __init__(self, save_images=False, save_processed_images=False,
+                 output_dir=None, hist_eq="none", quan_eval_metric_names=None,
+                 quan_eval_start_time=0, quan_eval_end_time=float("inf"),
+                 quan_eval_ts_tol_ms=float("inf"), has_reference_frames=False,
+                 color=False, no_ref_metric_names=()):
+        self.save_images = save_images
+        self.save_processed_images = save_processed_images and hist_eq != "none"
+        self.output_dir = output_dir
+        self.hist_eq = hist_eq
+        self.start_time = quan_eval_start_time
+        self.end_time = quan_eval_end_time
+        self.ts_tol_ms = quan_eval_ts_tol_ms
+        self.has_reference_frames = has_reference_frames
+        self.color = color
+        self.metric_names = list(quan_eval_metric_names or
+                                 ["mse", "ssim", "lpips"])
+        self.no_ref_names = set(no_ref_metric_names)
+        if not has_reference_frames:
+            self.metric_names = [m for m in self.metric_names
+                                 if m in self.no_ref_names]
+        self.only_no_ref = all(m in self.no_ref_names
+                               for m in self.metric_names)
+        self.scores = {m: [] for m in self.metric_names}
+        self.quan_eval_indices = []
+        self._setup_outputs()
+
+    # -- files ---------------------------------------------------------------
+
+    def _setup_outputs(self):
+        ensure_dir(self.output_dir)
+        if self.save_processed_images:
+            self.processed_output_dir = self.output_dir + "_processed"
+            ensure_dir(self.processed_output_dir)
+        truncate(self._ts_path())
+        for m in self.metric_names:
+            truncate(self._metric_path(m))
+
+    def _ts_path(self):
+        return os.path.join(self.output_dir, "timestamps.txt")
+
+    def _metric_path(self, name):
+        return os.path.join(self.output_dir, name + ".txt")
+
+    # -- per-frame -----------------------------------------------------------
+
+    def update(self, idx, img, ref, img_ts, ref_ts=None, scores=None,
+               processed_img=None):
+        """Record one frame. ``scores``: device-computed metric values for
+        this frame (already on clipped+processed images)."""
+        if ref_ts is None:
+            ref_ts = img_ts
+        append_timestamp(self._ts_path(), idx, img_ts)
+
+        img = np.clip(img, 0.0, 1.0)
+        if self.save_images:
+            save_inferred_image(self.output_dir, img, idx)
+        if self.save_processed_images and processed_img is not None:
+            save_inferred_image(self.processed_output_dir, processed_img, idx)
+
+        inside_cut = self.start_time <= img_ts <= self.end_time
+        tol_ok = (abs(ref_ts - img_ts) * 1000 <= self.ts_tol_ms
+                  if not self.only_no_ref else True)
+        if inside_cut and tol_ok and not self.color and scores is not None:
+            self.quan_eval_indices.append(idx)
+            for name in self.metric_names:
+                if name not in scores:
+                    continue
+                s = float(scores[name])
+                if math.isfinite(s):
+                    self.scores[name].append(s)
+                    append_result(self._metric_path(name), idx, s)
+
+    def save_custom_metric(self, idx, metric_name, metric_value, is_int=False):
+        path = os.path.join(self.output_dir, metric_name + ".txt")
+        if idx == 0 or not getattr(self, f"_custom_{metric_name}", False):
+            truncate(path)
+            setattr(self, f"_custom_{metric_name}", True)
+        append_result(path, idx, metric_value, is_int)
+
+    # -- aggregation ----------------------------------------------------------
+
+    def finalize(self, idx):
+        pass  # no batched queues to flush
+
+    def get_num_quan_evaluations(self):
+        return len(self.quan_eval_indices)
+
+    def get_mean_scores(self):
+        out = {}
+        for name in self.metric_names:
+            vals = self.scores[name]
+            out[name] = sum(vals) / len(vals) if vals else -1
+        return out
+
+    # -- videos ---------------------------------------------------------------
+
+    def create_video(self):
+        from evreal_tpu.harness.video import create_vid_from_recon_folder
+
+        if self.save_images:
+            create_vid_from_recon_folder(self.output_dir)
+        else:
+            print("Can not create video when save_images is False")
+
+    def create_processed_video(self):
+        from evreal_tpu.harness.video import create_vid_from_recon_folder
+
+        if self.save_processed_images:
+            shutil.copy2(self._ts_path(), self.processed_output_dir)
+            create_vid_from_recon_folder(self.processed_output_dir)
+        else:
+            print("Can not create processed video when save_processed_images"
+                  " is False")

@@ -7,6 +7,7 @@ individual submodules directly, bypassing package ``__init__`` side effects.
 """
 
 import importlib
+import importlib.util
 import sys
 import types
 
@@ -56,8 +57,6 @@ def ref_module(dotted):
     _stub_torchvision()
     if "." not in dotted:
         # top-level module file, e.g. 'dataset'
-        import importlib.util
-
         name = f"ref_{dotted}"
         if name not in sys.modules:
             spec = importlib.util.spec_from_file_location(

@@ -1,0 +1,50 @@
+"""SSIM / MSE parity vs a scipy-based oracle implementing the exact skimage
+algorithm the reference pins (gaussian_weights=True, sigma=1.5,
+use_sample_covariance=False, data_range=1.0; skimage is not installed here,
+but it delegates to scipy.ndimage.gaussian_filter which is)."""
+
+import numpy as np
+
+from evreal_tpu.metrics.functional import mse, ssim
+
+
+def skimage_ssim_oracle(x, y, data_range=1.0, sigma=1.5, truncate=3.5,
+                        k1=0.01, k2=0.03):
+    from scipy.ndimage import gaussian_filter
+
+    x = x.astype(np.float64)
+    y = y.astype(np.float64)
+    f = lambda a: gaussian_filter(a, sigma, truncate=truncate)
+    ux, uy = f(x), f(y)
+    uxx, uyy, uxy = f(x * x), f(y * y), f(x * y)
+    vx = uxx - ux * ux
+    vy = uyy - uy * uy
+    vxy = uxy - ux * uy
+    c1 = (k1 * data_range) ** 2
+    c2 = (k2 * data_range) ** 2
+    s = ((2 * ux * uy + c1) * (2 * vxy + c2)) / (
+        (ux ** 2 + uy ** 2 + c1) * (vx + vy + c2))
+    radius = int(truncate * sigma + 0.5)
+    return s[radius:-radius, radius:-radius].mean()
+
+
+def test_ssim_matches_oracle():
+    rng = np.random.default_rng(0)
+    for seed in range(3):
+        x = rng.uniform(0, 1, (64, 80)).astype(np.float32)
+        y = np.clip(x + rng.normal(0, 0.1, x.shape), 0, 1).astype(np.float32)
+        want = skimage_ssim_oracle(x, y)
+        got = float(ssim(x, y))
+        assert abs(got - want) < 1e-5, (got, want)
+
+
+def test_ssim_identical_images():
+    x = np.random.default_rng(1).uniform(0, 1, (32, 32)).astype(np.float32)
+    assert abs(float(ssim(x, x)) - 1.0) < 1e-6
+
+
+def test_mse():
+    rng = np.random.default_rng(2)
+    a = rng.uniform(0, 1, (50, 60)).astype(np.float32)
+    b = rng.uniform(0, 1, (50, 60)).astype(np.float32)
+    assert abs(float(mse(a, b)) - np.mean((a - b) ** 2)) < 1e-6
