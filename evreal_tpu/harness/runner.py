@@ -45,9 +45,44 @@ DEFAULT_CHUNK_T = 32
 NO_REF_METRICS = ()  # no-reference metrics land here when implemented
 
 
+def make_voxel_stage(vox_fn, num_bins, hw, event_norm):
+    """Jittable (xs, ys, ts, ps, count) -> (T, H, W, B) voxel stage shared by
+    the grayscale and color runners."""
+
+    def stage(xs, ys, ts, ps, count):
+        def one(x, y, t, p, c):
+            return jnp.transpose(vox_fn(x, y, t, p, c, num_bins, hw),
+                                 (1, 2, 0))
+
+        vox = jax.vmap(one)(xs, ys, ts, ps, count)
+        if event_norm:
+            vox = jax.vmap(normalize_event_tensor)(vox)
+        return vox
+
+    return stage
+
+
+def default_voxelize_impl():
+    return "matmul" if jax.default_backend() == "tpu" else "scatter"
+
+
 # ---------------------------------------------------------------------------
 # model loading
 # ---------------------------------------------------------------------------
+
+def post_process_normalization_np(img, norm):
+    """Host (numpy) variant of ops.normalize.post_process_normalization for
+    images merged on host (color path)."""
+    if norm == "none" or norm is None:
+        return img
+    if norm == "exprobust":
+        img = np.exp(img)
+        norm = "robust"
+    qlo, qhi = (1, 99) if norm == "robust" else (0, 100)
+    lo = np.percentile(img.ravel(), qlo)
+    hi = np.percentile(img.ravel(), qhi)
+    return (img - lo) / (hi - lo)
+
 
 def load_method_params(method_config):
     """Resolve a method's converted-param file; auto-convert a sibling
@@ -95,10 +130,11 @@ class MethodRunner:
         self.chunk_t = chunk_t
         self.crop = CropParams(width, height, model.num_encoders)
         if voxelize_impl is None:
-            voxelize_impl = ("matmul" if jax.default_backend() == "tpu"
-                             else "scatter")
+            voxelize_impl = default_voxelize_impl()
         self._vox = (voxelize_matmul if voxelize_impl == "matmul"
                      else voxelize_scatter)
+        self.voxel_stage = make_voxel_stage(self._vox, num_bins,
+                                            (height, width), event_norm)
         self._fns = {}
         self._metric_fn = None
 
@@ -108,18 +144,11 @@ class MethodRunner:
 
     def _build(self, capacity):
         model, crop = self.model, self.crop
-        num_bins, hw = self.num_bins, (self.h, self.w)
-        vox_fn = self._vox
-        event_norm, post_norm = self.event_norm, self.post_norm
+        post_norm = self.post_norm
+        voxel_stage = self.voxel_stage
 
         def fn(params, state, xs, ys, ts, ps, count):
-            def one_voxel(x, y, t, p, c):
-                v = vox_fn(x, y, t, p, c, num_bins, hw)
-                return jnp.transpose(v, (1, 2, 0))  # HWC
-
-            vox = jax.vmap(one_voxel)(xs, ys, ts, ps, count)
-            if event_norm:
-                vox = jax.vmap(normalize_event_tensor)(vox)
+            vox = voxel_stage(xs, ys, ts, ps, count)
             vox = crop.pad(vox)
 
             def step(st, v):
@@ -262,12 +291,17 @@ def eval_method_on_sequence(dataset_name, eval_config, method_name, bundle,
                 break  # reference eval.py:214-216
         proc.append(i)
 
-    runner = bundle.runner_for(seq.sensor_resolution, method_config,
-                               seq.num_bins)
+    if color:
+        runner = bundle.color_runner_for(seq.sensor_resolution,
+                                         method_config, seq.num_bins)
+    else:
+        runner = bundle.runner_for(seq.sensor_resolution, method_config,
+                                   seq.num_bins)
     state = runner.init_state()
     chunk_t = runner.chunk_t
     capacity = bucket_capacity(max((metas_all[i]["event_count"]
                                     for i in proc), default=0))
+    post_norm = method_config.get("post_process_norm", "none")
 
     for c0 in range(0, len(proc), chunk_t):
         chunk = proc[c0:c0 + chunk_t]
@@ -279,6 +313,22 @@ def eval_method_on_sequence(dataset_name, eval_config, method_name, bundle,
                     buffers[key], ((0, chunk_t - valid_t), (0, 0)))
             buffers["count"] = np.pad(buffers["count"],
                                       (0, chunk_t - valid_t))
+
+        if color:
+            with DeviceTimer(method_name, frames=valid_t):
+                state, cimgs, gimgs = runner.run(state, buffers)
+                gimgs.block_until_ready()
+            merged = runner.merge_host(np.asarray(cimgs)[:valid_t],
+                                       np.asarray(gimgs)[:valid_t])
+            for j, (i, meta) in enumerate(zip(chunk, metas)):
+                img = post_process_normalization_np(merged[j], post_norm)
+                tracker.update(i, img, None, meta["voxel_timestamp"],
+                               meta["frame_timestamp"] if seq.has_images
+                               else None, scores=None)
+                rate = (0 if meta["event_count"] <= 1 or meta["dt"] == 0
+                        else meta["event_count"] / meta["dt"])
+                tracker.save_custom_metric(i, "event_rate", rate)
+            continue
 
         with DeviceTimer(method_name, frames=valid_t):
             state, images, clipped = runner.run(state, buffers)
@@ -352,6 +402,22 @@ class MethodBundle:
                 height=h, width=w, num_bins=num_bins)
         return self._runners[key]
 
+    def color_runner_for(self, sensor_resolution, method_config, num_bins):
+        from evreal_tpu.models.colornet import ColorRunner
+        from evreal_tpu.ops.voxelize import voxelize_matmul, voxelize_scatter
+
+        key = ("color",) + tuple(sensor_resolution)
+        if key not in self._runners:
+            h, w = sensor_resolution
+            vox = (voxelize_matmul if default_voxelize_impl() == "matmul"
+                   else voxelize_scatter)
+            stage = make_voxel_stage(
+                vox, num_bins, (h, w),
+                method_config.get("event_tensor_normalization", False))
+            self._runners[key] = ColorRunner(self.model, self.params,
+                                             h, w, stage)
+        return self._runners[key]
+
 
 # ---------------------------------------------------------------------------
 # top-level loops (reference eval.py:333-455)
@@ -361,13 +427,9 @@ def eval_method_with_config(eval_config, method_name, datasets, metrics):
     num_sequences = sum(len(d["sequences"]) for d in datasets)
     method_config = get_method_config(method_name)
     print(color_progress("Starting method " + method_name))
-    color = eval_config.get("color", False)
     method_metrics = []
     try:
         bundle = MethodBundle(method_name, method_config)
-        if color:
-            raise NotImplementedError(
-                "color (ColorNet) evaluation not implemented yet")
     except Exception as e:  # noqa: BLE001 — containment, reference eval.py:344-352
         print(color_error(f"Exception while getting method {method_name}"))
         print(color_error(str(e)))
