@@ -9,8 +9,7 @@ chunks of T windows run as one compiled XLA program:
     lax.scan(model) -> crop -> post-norm -> clip  [+ batched metrics]
 
 Only packed event buffers go up and images/score scalars come back. Programs
-are cached per (method, padded resolution, event-capacity bucket); recurrent
-state is donated between chunks.
+are cached per (method, padded resolution, event-capacity bucket).
 """
 
 import glob
@@ -162,7 +161,10 @@ class MethodRunner:
             clipped = jnp.clip(imgs, 0.0, 1.0)
             return state, imgs, clipped
 
-        return jax.jit(fn, donate_argnums=(1,))
+        # NOTE: no donate_argnums — buffer donation triggers an
+        # InvalidArgument on device->host transfers under the axon TPU
+        # plugin (outputs alias donated storage); state is small anyway.
+        return jax.jit(fn)
 
     def run(self, state, buffers):
         capacity = buffers["xs"].shape[1]

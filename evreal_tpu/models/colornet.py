@@ -75,7 +75,7 @@ class ColorRunner:
             gimgs = jnp.clip(gimgs * 255, 0, 255).astype(jnp.uint8)
             return {"color": cstate, "gray": gstate}, cimgs, gimgs
 
-        return jax.jit(fn, donate_argnums=(1,))
+        return jax.jit(fn)  # no donation: axon transfer bug (see runner)
 
     def run(self, state, buffers):
         cap = buffers["xs"].shape[1]
