@@ -41,6 +41,7 @@ from evreal_tpu.ops.pad import CropParams
 from evreal_tpu.ops.voxelize import voxelize_matmul, voxelize_scatter
 
 DEFAULT_CHUNK_T = 32
+PIPELINE_DEPTH = 8  # chunks in flight on device before the host drains one
 NO_REF_METRICS = ()  # no-reference metrics land here when implemented
 
 
@@ -196,8 +197,7 @@ class MethodRunner:
                 return out
 
             self._metric_fn = mfn
-        return {k: np.asarray(v)
-                for k, v in self._metric_fn(clipped, refs).items()}
+        return self._metric_fn(clipped, refs)  # device arrays (async)
 
 
 # ---------------------------------------------------------------------------
@@ -305,6 +305,61 @@ def eval_method_on_sequence(dataset_name, eval_config, method_name, bundle,
                                     for i in proc), default=0))
     post_norm = method_config.get("post_process_norm", "none")
 
+    # Chunks are dispatched ahead of consumption (JAX async dispatch): the
+    # device crunches chunk k+1..k+PIPELINE_DEPTH while the host writes chunk
+    # k's files. Depth bounds device memory for long sequences. Per-chunk
+    # tunnel round-trip latency (~100s of ms on axon) is hidden this way.
+    def drain(entry):
+        chunk, metas, tensors, refs = entry
+        if color:
+            cimgs, gimgs = tensors
+            valid_t = len(chunk)
+            merged = runner.merge_host(np.asarray(cimgs)[:valid_t],
+                                       np.asarray(gimgs)[:valid_t])
+            for j, (i, meta) in enumerate(zip(chunk, metas)):
+                img = post_process_normalization_np(merged[j], post_norm)
+                tracker.update(i, img, None, meta["voxel_timestamp"],
+                               meta["frame_timestamp"] if seq.has_images
+                               else None, scores=None)
+                rate = (0 if meta["event_count"] <= 1 or meta["dt"] == 0
+                        else meta["event_count"] / meta["dt"])
+                tracker.save_custom_metric(i, "event_rate", rate)
+            return
+        images_dev, clipped_dev, scores_dev = tensors
+        images = np.asarray(images_dev)
+        clipped_np = np.asarray(clipped_dev)
+        if hist_eq != "none":
+            proc_imgs = np.stack([histeq_mod.histogram_equalization(im,
+                                                                    hist_eq)
+                                  for im in clipped_np])
+            proc_refs = (np.stack([histeq_mod.histogram_equalization(
+                np.clip(r, 0, 1), hist_eq) for r in refs])
+                if refs is not None else None)
+            scores = {}
+            if known and refs is not None:
+                scores = {k: np.asarray(v) for k, v in runner.metric_scores(
+                    known, jnp.asarray(proc_imgs),
+                    jnp.asarray(proc_refs)).items()}
+        else:
+            proc_imgs = clipped_np
+            scores = ({k: np.asarray(v) for k, v in scores_dev.items()}
+                      if scores_dev else {})
+        for j, (i, meta) in enumerate(zip(chunk, metas)):
+            frame_scores = {k: v[j] for k, v in scores.items()}
+            tracker.update(
+                i, images[j],
+                refs[j] if refs is not None else None,
+                meta["voxel_timestamp"],
+                meta["frame_timestamp"] if seq.has_images else None,
+                scores=frame_scores,
+                processed_img=proc_imgs[j] if hist_eq != "none" else None)
+            rate = (0 if meta["event_count"] <= 1 or meta["dt"] == 0
+                    else meta["event_count"] / meta["dt"])
+            tracker.save_custom_metric(i, "event_rate", rate)
+
+    pending = []
+    timer = DeviceTimer(method_name, frames=max(len(proc), 1))
+    timer.__enter__()
     for c0 in range(0, len(proc), chunk_t):
         chunk = proc[c0:c0 + chunk_t]
         buffers, metas = pack_windows(seq, chunk, capacity=capacity)
@@ -316,60 +371,30 @@ def eval_method_on_sequence(dataset_name, eval_config, method_name, bundle,
             buffers["count"] = np.pad(buffers["count"],
                                       (0, chunk_t - valid_t))
 
-        if color:
-            with DeviceTimer(method_name, frames=valid_t):
-                state, cimgs, gimgs = runner.run(state, buffers)
-                gimgs.block_until_ready()
-            merged = runner.merge_host(np.asarray(cimgs)[:valid_t],
-                                       np.asarray(gimgs)[:valid_t])
-            for j, (i, meta) in enumerate(zip(chunk, metas)):
-                img = post_process_normalization_np(merged[j], post_norm)
-                tracker.update(i, img, None, meta["voxel_timestamp"],
-                               meta["frame_timestamp"] if seq.has_images
-                               else None, scores=None)
-                rate = (0 if meta["event_count"] <= 1 or meta["dt"] == 0
-                        else meta["event_count"] / meta["dt"])
-                tracker.save_custom_metric(i, "event_rate", rate)
-            continue
-
-        with DeviceTimer(method_name, frames=valid_t):
-            state, images, clipped = runner.run(state, buffers)
-            images.block_until_ready()
-        images = np.asarray(images)[:valid_t]
-        clipped_np = np.asarray(clipped)[:valid_t]
-
-        # reference frames + processed variants
         refs = None
-        if seq.has_images:
+        if seq.has_images and not color:
             refs = np.stack([seq.frame(m["frame_index"]) for m in metas])
-        if hist_eq != "none":
-            proc_imgs = np.stack([histeq_mod.histogram_equalization(im, hist_eq)
-                                  for im in clipped_np])
-            proc_refs = (np.stack([histeq_mod.histogram_equalization(
-                np.clip(r, 0, 1), hist_eq) for r in refs])
-                if refs is not None else None)
+
+        if color:
+            state, cimgs, gimgs = runner.run(state, buffers)
+            entry = (chunk, metas, (cimgs, gimgs), None)
         else:
-            proc_imgs, proc_refs = clipped_np, refs
-
-        scores = {}
-        if known and refs is not None and not color:
-            scores = runner.metric_scores(known, jnp.asarray(proc_imgs),
-                                          jnp.asarray(proc_refs))
-
-        for j, (i, meta) in enumerate(zip(chunk, metas)):
-            frame_scores = {k: v[j] for k, v in scores.items()}
-            tracker.update(
-                i, images[j],
-                refs[j] if refs is not None else None,
-                meta["voxel_timestamp"],
-                meta["frame_timestamp"] if seq.has_images else None,
-                scores=frame_scores,
-                processed_img=proc_imgs[j] if hist_eq != "none" else None)
-            if meta["event_count"] <= 1 or meta["dt"] == 0:
-                event_rate = 0
-            else:
-                event_rate = meta["event_count"] / meta["dt"]
-            tracker.save_custom_metric(i, "event_rate", event_rate)
+            state, images, clipped = runner.run(state, buffers)
+            images = images[:valid_t]
+            clipped = clipped[:valid_t]
+            scores_dev = None
+            if known and refs is not None and hist_eq == "none":
+                scores_dev = runner.metric_scores(known, clipped,
+                                                  jnp.asarray(refs))
+            entry = (chunk, metas, (images, clipped, scores_dev), refs)
+        pending.append(entry)
+        if len(pending) >= PIPELINE_DEPTH:
+            drain(pending.pop(0))
+    for entry in pending:
+        drain(entry)
+    if proc:
+        jax.block_until_ready(state)
+    timer.__exit__()
 
     tracker.finalize(proc[-1] if proc else 0)
     if eval_config.get("create_video", False):
