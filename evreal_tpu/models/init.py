@@ -37,10 +37,11 @@ def conv(rng, kh, kw, cin, cout, bias=True):
 
 def _orthogonal(rng, shape_hwio):
     h, w, i, o = shape_hwio
-    flat = rng.normal(size=(o, h * w * i)).astype(np.float32)
-    q, r = np.linalg.qr(flat.T if flat.shape[0] > flat.shape[1] else flat)
+    rows, cols = o, h * w * i
+    a = rng.normal(size=(max(rows, cols), min(rows, cols)))
+    q, r = np.linalg.qr(a)
     q = q * np.sign(np.diag(r))
-    if flat.shape[0] > flat.shape[1]:
+    if rows < cols:
         q = q.T
     return q.reshape(o, h, w, i).transpose(1, 2, 3, 0).astype(np.float32)
 

@@ -1,0 +1,93 @@
+"""Training step + mesh sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import numpy as np
+import optax
+import pytest
+
+from evreal_tpu.models import build_model
+from evreal_tpu.models.init import init_e2vid, init_firenet
+from evreal_tpu.parallel.mesh import batch_sharding, make_mesh, shard_params
+from evreal_tpu.train import make_train_step
+
+CPU = jax.devices("cpu")
+
+
+def _firenet_batch(n, t, h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    return {"voxels": rng.normal(size=(n, t, h, w, 5)).astype(np.float32),
+            "frames": rng.uniform(size=(n, t, h, w)).astype(np.float32)}
+
+
+def test_train_step_reduces_loss_single_device():
+    model = build_model("FireNet", {"num_bins": 5, "base_num_channels": 8,
+                                    "kernel_size": 3})
+    params = jax.tree.map(np.asarray,
+                          init_firenet(base_num_channels=8))
+    step, opt = make_train_step(model, optax.adam(1e-3))
+    opt_state = opt.init(params)
+    batch = _firenet_batch(2, 3, 16, 16)
+    losses = []
+    for _ in range(5):
+        params, opt_state, loss = step(params, opt_state, batch)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
+
+
+@pytest.mark.parametrize("n_devices", [8, 4])
+def test_train_step_sharded_matches_meshless(n_devices):
+    model = build_model("E2VIDRecurrent", dict(
+        num_bins=5, base_num_channels=8, kernel_size=3, num_encoders=2,
+        recurrent_block_type="convgru", num_residual_blocks=1,
+        skip_type="sum", norm=None, use_upsample_conv=True,
+        final_activation="none"))
+    params = jax.tree.map(np.asarray, init_e2vid(
+        num_bins=5, base_num_channels=8, kernel_size=3, num_encoders=2,
+        num_residual_blocks=1, recurrent_block_type="convgru"))
+    batch = _firenet_batch(4, 2, 16, 32, seed=1)
+
+    step0, opt0 = make_train_step(model, optax.adam(1e-3), remat=False)
+    p0, o0, loss0 = step0(params, opt0.init(params), batch)
+
+    mesh = make_mesh(n_devices, axes=("dp", "sp", "tp"), devices=CPU)
+    with mesh:
+        sp = shard_params(mesh, params)
+        step1, opt1 = make_train_step(model, optax.adam(1e-3), mesh=mesh,
+                                      remat=False)
+        bsharded = {
+            "voxels": jax.device_put(batch["voxels"],
+                                     batch_sharding(mesh, 5, 0, 3)),
+            "frames": jax.device_put(batch["frames"],
+                                     batch_sharding(mesh, 4, 0, 3)),
+        }
+        p1, o1, loss1 = step1(sp, opt1.init(sp), bsharded)
+    np.testing.assert_allclose(float(loss0), float(loss1), rtol=1e-5)
+    # parameters after one step agree too
+    flat0 = jax.tree.leaves(p0)
+    flat1 = jax.tree.leaves(p1)
+    for a, b in zip(flat0, flat1):
+        # cross-device reduction order perturbs gradients at float noise level
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
+
+
+def test_graft_entry_points():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out, state = jax.jit(fn)(*args)
+    assert out.shape == (1, 184, 240, 1)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_graft_dryrun_multichip():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
+
+
+def test_mesh_factorization():
+    assert dict(make_mesh(8, ("dp", "sp", "tp"), CPU).shape) == {
+        "dp": 2, "sp": 2, "tp": 2}
+    assert dict(make_mesh(4, ("dp", "sp"), CPU).shape) == {"dp": 2, "sp": 2}
+    assert dict(make_mesh(1, ("dp", "sp"), CPU).shape) == {"dp": 1, "sp": 1}
