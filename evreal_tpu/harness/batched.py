@@ -1,0 +1,277 @@
+"""Batched multi-sequence evaluation — the TPU-native scaling axis.
+
+The reference evaluates sequences strictly serially (eval.py:354-366). The
+recurrence forces frame t to follow frame t-1 *within* a sequence, but
+sequences are independent, so N sequences of one dataset run in lockstep as a
+batch dimension through a single scanned program: state pytrees carry an N
+axis, the MXU sees N-fold larger convolutions, and per-chunk dispatch cost is
+amortized N-fold. Per-sequence windowing, eval-window gating and output files
+are untouched host-side concerns.
+
+Under a multi-device mesh the batch axis shards over 'dp' (embarrassingly
+parallel; no collectives in the step).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from evreal_tpu.data.packing import bucket_capacity, pack_windows
+from evreal_tpu.harness.timers import DeviceTimer
+from evreal_tpu.metrics import functional as F
+from evreal_tpu.metrics import lpips as lpips_mod
+from evreal_tpu.metrics.tracker import EvalMetricsTracker
+from evreal_tpu.ops.pad import CropParams
+
+
+class BatchedRunner:
+    """Compiled lockstep pipeline over a batch of n sequences."""
+
+    def __init__(self, model, params, *, event_norm, post_norm, height,
+                 width, num_bins, n, chunk_t=32, mesh=None):
+        from evreal_tpu.harness.runner import (
+            default_voxelize_impl, make_voxel_stage)
+        from evreal_tpu.ops.voxelize import voxelize_matmul, voxelize_scatter
+
+        self.model = model
+        self.params = params
+        self.post_norm = post_norm
+        self.h, self.w = height, width
+        self.n = n
+        self.chunk_t = chunk_t
+        self.mesh = mesh
+        self.crop = CropParams(width, height, model.num_encoders)
+        vox = (voxelize_matmul if default_voxelize_impl() == "matmul"
+               else voxelize_scatter)
+        self.voxel_stage = make_voxel_stage(vox, num_bins, (height, width),
+                                            event_norm)
+        self._fns = {}
+        self._metric_fn = None
+
+    def init_state(self):
+        ph, pw = self.crop.padded_shape
+        return self.model.init_state(self.n, ph, pw)
+
+    def _build(self, capacity):
+        from evreal_tpu.ops.normalize import post_process_normalization
+
+        model, crop, post_norm = self.model, self.crop, self.post_norm
+        voxel_stage = self.voxel_stage
+
+        def fn(params, state, xs, ys, ts, ps, count):
+            # inputs: (N, T, E) / count (N, T)
+            vox = jax.vmap(voxel_stage)(xs, ys, ts, ps, count)  # (N,T,H,W,B)
+            vox = crop.pad(vox)
+            vox = jnp.moveaxis(vox, 1, 0)  # (T, N, ph, pw, B)
+
+            def step(st, v):
+                out, st = model.apply(params, st, v)
+                return st, out["image"]
+
+            state, imgs = jax.lax.scan(step, state, vox)
+            imgs = jnp.moveaxis(imgs, 0, 1)  # (N, T, ph, pw, 1)
+            imgs = crop.crop(imgs)[..., 0]  # (N, T, H, W)
+            imgs = jax.vmap(jax.vmap(
+                lambda im: post_process_normalization(im, post_norm)))(imgs)
+            clipped = jnp.clip(imgs, 0.0, 1.0)
+            return state, imgs, clipped
+
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            batch_spec = NamedSharding(self.mesh, P("dp"))
+
+            def sharded(params, state, *bufs):
+                bufs = [jax.lax.with_sharding_constraint(b, batch_spec)
+                        for b in bufs]
+                return fn(params, state, *bufs)
+
+            return jax.jit(sharded)
+        return jax.jit(fn)
+
+    def run(self, state, buffers):
+        capacity = buffers["xs"].shape[2]
+        if capacity not in self._fns:
+            self._fns[capacity] = self._build(capacity)
+        return self._fns[capacity](self.params, state, buffers["xs"],
+                                   buffers["ys"], buffers["ts"],
+                                   buffers["ps"], buffers["count"])
+
+    def metric_scores(self, metric_names, clipped, refs):
+        """(N, T, H, W) images/refs -> {name: (N, T)} device arrays."""
+        if self._metric_fn is None:
+            names = [m for m in metric_names if m in ("mse", "ssim", "lpips")]
+            lpips_w = (lpips_mod.load_weights()
+                       if "lpips" in names and lpips_mod.weights_available()
+                       else None)
+
+            @jax.jit
+            def mfn(imgs, refs):
+                out = {}
+                vv = lambda f: jax.vmap(jax.vmap(f))
+                if "mse" in names:
+                    out["mse"] = vv(F.mse)(imgs, refs)
+                if "ssim" in names:
+                    out["ssim"] = vv(F.ssim)(imgs, refs)
+                if lpips_w is not None:
+                    out["lpips"] = vv(
+                        lambda a, b: lpips_mod.lpips(lpips_w, a, b)[0])(
+                            imgs, refs)
+                return out
+
+            self._metric_fn = mfn
+        return self._metric_fn(clipped, refs)
+
+
+def eval_method_on_sequence_group(dataset_name, eval_config, method_name,
+                                  bundle, method_config, sequences, metrics):
+    """Evaluate one method on N same-resolution sequences in lockstep.
+    Returns [(num_evaluated, mean_scores)] aligned with ``sequences``."""
+    from evreal_tpu.harness import histeq as histeq_mod
+    from evreal_tpu.harness.runner import NO_REF_METRICS, PIPELINE_DEPTH
+
+    seqs = [s["dataset"] for s in sequences]
+    n = len(seqs)
+    hist_eq = eval_config.get("histeq", "none")
+    save_images = eval_config.get("save_images", True)
+    eval_infer_all = eval_config.get("eval_infer_all", False)
+
+    known = [m for m in metrics if m in ("mse", "ssim", "lpips")]
+    for m in metrics:
+        if m not in known:
+            print(f"Unknown metric {m}")
+    if "lpips" in known and not lpips_mod.weights_available():
+        print("lpips weights unavailable (see tools/convert_lpips.py); "
+              "skipping lpips")
+        known = [m for m in known if m != "lpips"]
+
+    trackers, procs, metas_all = [], [], []
+    for s, seq in zip(sequences, seqs):
+        output_dir = os.path.join("outputs", eval_config["name"],
+                                  dataset_name, s["name"], method_name)
+        trackers.append(EvalMetricsTracker(
+            save_images=save_images,
+            save_processed_images=save_images and hist_eq != "none",
+            output_dir=output_dir, hist_eq=hist_eq,
+            quan_eval_metric_names=known,
+            quan_eval_start_time=s["start_time_s"],
+            quan_eval_end_time=s["end_time_s"],
+            quan_eval_ts_tol_ms=eval_config["ts_tol_ms"],
+            has_reference_frames=seq.has_images,
+            no_ref_metric_names=NO_REF_METRICS))
+        metas = [seq.window(i) for i in range(len(seq))]
+        proc = []
+        for i, m in enumerate(metas):
+            ts = m["voxel_timestamp"]
+            if not eval_infer_all:
+                if ts < s["start_time_s"] - 10:
+                    continue
+                if ts > s["end_time_s"]:
+                    break
+            proc.append(i)
+        metas_all.append(metas)
+        procs.append(proc)
+
+    resolution = seqs[0].sensor_resolution
+    runner = bundle.batched_runner_for(resolution, method_config,
+                                       seqs[0].num_bins, n)
+    chunk_t = runner.chunk_t
+    capacity = bucket_capacity(max(
+        (metas_all[k][i]["event_count"] for k in range(n)
+         for i in procs[k]), default=0))
+    post_norm = method_config.get("post_process_norm", "none")
+    any_images = any(seq.has_images for seq in seqs)
+    total_frames = sum(len(p) for p in procs)
+    max_chunks = max((-(-len(p) // chunk_t) for p in procs), default=0)
+
+    state = runner.init_state()
+
+    def pack_chunk(k):
+        bufs = {key: np.zeros((n, chunk_t, capacity), np.float32)
+                for key in ("xs", "ys", "ts", "ps")}
+        bufs["count"] = np.zeros((n, chunk_t), np.int32)
+        chunk_info = []
+        refs = (np.zeros((n, chunk_t) + tuple(resolution), np.float32)
+                if any_images and known else None)
+        for j, (seq, proc) in enumerate(zip(seqs, procs)):
+            idxs = proc[k * chunk_t:(k + 1) * chunk_t]
+            chunk_info.append(idxs)
+            if not idxs:
+                continue
+            b, metas = pack_windows(seq, idxs, capacity=capacity)
+            t = len(idxs)
+            for key in ("xs", "ys", "ts", "ps"):
+                bufs[key][j, :t] = b[key]
+            bufs["count"][j, :t] = b["count"]
+            if refs is not None and seq.has_images:
+                for r, i in enumerate(idxs):
+                    refs[j, r] = seq.frame(metas_all[j][i]["frame_index"])
+        return bufs, chunk_info, refs
+
+    def drain(entry):
+        chunk_info, refs, images_dev, clipped_dev, scores_dev = entry
+        images = np.asarray(images_dev)
+        clipped = np.asarray(clipped_dev)
+        scores = ({k: np.asarray(v) for k, v in scores_dev.items()}
+                  if scores_dev else {})
+        for j, idxs in enumerate(chunk_info):
+            seq, tracker = seqs[j], trackers[j]
+            for r, i in enumerate(idxs):
+                meta = metas_all[j][i]
+                img = images[j, r]
+                clp = clipped[j, r]
+                ref = refs[j, r] if (refs is not None and seq.has_images) \
+                    else None
+                if hist_eq != "none":
+                    proc_img = histeq_mod.histogram_equalization(clp, hist_eq)
+                    frame_scores = {}
+                    if known and ref is not None:
+                        proc_ref = histeq_mod.histogram_equalization(
+                            np.clip(ref, 0, 1), hist_eq)
+                        fs = runner.metric_scores(
+                            known, jnp.asarray(proc_img[None, None]),
+                            jnp.asarray(proc_ref[None, None]))
+                        frame_scores = {k: float(v[0, 0])
+                                        for k, v in fs.items()}
+                else:
+                    proc_img = None
+                    frame_scores = {k: v[j, r] for k, v in scores.items()}
+                tracker.update(
+                    i, img, ref, meta["voxel_timestamp"],
+                    meta["frame_timestamp"] if seq.has_images else None,
+                    scores=frame_scores, processed_img=proc_img)
+                rate = (0 if meta["event_count"] <= 1 or meta["dt"] == 0
+                        else meta["event_count"] / meta["dt"])
+                tracker.save_custom_metric(i, "event_rate", rate)
+
+    pending = []
+    timer = DeviceTimer(method_name, frames=max(total_frames, 1))
+    timer.__enter__()
+    for k in range(max_chunks):
+        bufs, chunk_info, refs = pack_chunk(k)
+        state, images, clipped = runner.run(state, bufs)
+        scores_dev = None
+        if known and any_images and hist_eq == "none":
+            scores_dev = runner.metric_scores(known, clipped,
+                                              jnp.asarray(refs))
+        pending.append((chunk_info, refs, images, clipped, scores_dev))
+        if len(pending) >= PIPELINE_DEPTH:
+            drain(pending.pop(0))
+    for entry in pending:
+        drain(entry)
+    if max_chunks:
+        jax.block_until_ready(state)
+    timer.__exit__()
+
+    results = []
+    for tracker, proc in zip(trackers, procs):
+        tracker.finalize(proc[-1] if proc else 0)
+        if eval_config.get("create_video", False):
+            tracker.create_video()
+            if hist_eq != "none":
+                tracker.create_processed_video()
+        results.append((tracker.get_num_quan_evaluations(),
+                        tracker.get_mean_scores()))
+    return results

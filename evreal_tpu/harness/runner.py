@@ -429,6 +429,21 @@ class MethodBundle:
                 height=h, width=w, num_bins=num_bins)
         return self._runners[key]
 
+    def batched_runner_for(self, sensor_resolution, method_config, num_bins,
+                           n):
+        from evreal_tpu.harness.batched import BatchedRunner
+
+        key = ("batched", n) + tuple(sensor_resolution)
+        if key not in self._runners:
+            h, w = sensor_resolution
+            self._runners[key] = BatchedRunner(
+                self.model, self.params,
+                event_norm=method_config.get("event_tensor_normalization",
+                                             False),
+                post_norm=method_config.get("post_process_norm", "none"),
+                height=h, width=w, num_bins=num_bins, n=n)
+        return self._runners[key]
+
     def color_runner_for(self, sensor_resolution, method_config, num_bins):
         from evreal_tpu.models.colornet import ColorRunner
         from evreal_tpu.ops.voxelize import voxelize_matmul, voxelize_scatter
@@ -463,24 +478,48 @@ def eval_method_with_config(eval_config, method_name, datasets, metrics):
         print(color_error(traceback.format_exc()))
         return method_metrics
 
+    color = eval_config.get("color", False)
+    batched_ok = (not color
+                  and os.environ.get("EVREAL_BATCHED", "1") != "0")
     seq_no = 1
     for dataset in datasets:
         dataset_metrics = None
         try:
             dataset_metrics = MetricTracker()
-            for sequence in dataset["sequences"]:
-                print(color_progress(
-                    f"Evaluating {method_name} method with "
-                    f"{eval_config['name']} evaluation config on "
-                    f"{sequence['name']} sequence from {dataset['name']} "
-                    f"dataset. ({seq_no}/{num_sequences} for this method "
-                    f"and config)"))
-                num_eval, mean_scores = eval_method_on_sequence(
-                    dataset["name"], eval_config, method_name, bundle,
-                    method_config, sequence, metrics)
-                seq_no += 1
-                for metric_name, score in mean_scores.items():
-                    dataset_metrics.update(metric_name, score, num_eval)
+            # group same-resolution sequences for lockstep batched eval
+            groups = []
+            if batched_ok:
+                by_res = OrderedDict()
+                for sequence in dataset["sequences"]:
+                    key = tuple(sequence["dataset"].sensor_resolution)
+                    by_res.setdefault(key, []).append(sequence)
+                groups = list(by_res.values())
+            else:
+                groups = [[s] for s in dataset["sequences"]]
+
+            for group in groups:
+                for sequence in group:
+                    print(color_progress(
+                        f"Evaluating {method_name} method with "
+                        f"{eval_config['name']} evaluation config on "
+                        f"{sequence['name']} sequence from {dataset['name']} "
+                        f"dataset. ({seq_no}/{num_sequences} for this method "
+                        f"and config)"))
+                    seq_no += 1
+                if len(group) > 1:
+                    from evreal_tpu.harness.batched import (
+                        eval_method_on_sequence_group)
+
+                    results = eval_method_on_sequence_group(
+                        dataset["name"], eval_config, method_name, bundle,
+                        method_config, group, metrics)
+                else:
+                    results = [eval_method_on_sequence(
+                        dataset["name"], eval_config, method_name, bundle,
+                        method_config, group[0], metrics)]
+                for num_eval, mean_scores in results:
+                    for metric_name, score in mean_scores.items():
+                        dataset_metrics.update(metric_name, score, num_eval)
         except Exception as e:  # noqa: BLE001 — containment, eval.py:369-375
             print(color_error(f"Exception while evaluating method "
                               f"{method_name} on {dataset['name']} dataset:"))

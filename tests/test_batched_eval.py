@@ -1,0 +1,74 @@
+"""Batched multi-sequence eval must reproduce the single-sequence path
+exactly (per-frame scores, files, counts)."""
+
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/repo/tools")
+from make_synthetic_sequence import make_sequence  # noqa: E402
+
+from evreal_tpu.data import Sequence
+from evreal_tpu.harness.batched import eval_method_on_sequence_group
+from evreal_tpu.harness.runner import eval_method_on_sequence
+
+from .test_end_to_end import FakeBundle
+
+EVAL_CONFIG = {"name": "std", "save_images": False, "histeq": "none",
+               "eval_infer_all": False, "ts_tol_ms": 1.0,
+               "create_video": False}
+METHOD_CONFIG = {"model_name": "FireNet+",
+                 "event_tensor_normalization": False,
+                 "post_process_norm": "none"}
+
+
+@pytest.fixture(scope="module")
+def seq_dirs(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    dirs = []
+    for i, (dur, epf) in enumerate([(0.9, 900), (1.3, 700)]):
+        d = root / f"seq{i}"
+        make_sequence(str(d), height=48, width=64, duration_s=dur, fps=20,
+                      events_per_frame=epf, seed=30 + i)
+        dirs.append(str(d))
+    return dirs
+
+
+def _sequences(seq_dirs):
+    out = []
+    for i, d in enumerate(seq_dirs):
+        seq = Sequence(d, num_bins=5,
+                       voxel_method={"method": "between_frames"})
+        out.append({"name": f"seq{i}", "dataset": seq,
+                    "start_time_s": 0.1, "end_time_s": 10.0})
+    return out
+
+
+def test_batched_matches_single(seq_dirs, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    bundle = FakeBundle("FireNet+")
+
+    single = [eval_method_on_sequence(
+        "SYNS", EVAL_CONFIG, "FireNet+", bundle, METHOD_CONFIG, s,
+        ["mse", "ssim"]) for s in _sequences(seq_dirs)]
+    single_rows = [
+        (tmp_path / "outputs/std/SYNS" / f"seq{i}" / "FireNet+" /
+         "mse.txt").read_text() for i in range(2)]
+
+    monkeypatch.chdir(tmp_path / "..")
+    batched_dir = tmp_path.parent / "batched_out"
+    batched_dir.mkdir(exist_ok=True)
+    monkeypatch.chdir(batched_dir)
+    batched = eval_method_on_sequence_group(
+        "SYNS", EVAL_CONFIG, "FireNet+", bundle, METHOD_CONFIG,
+        _sequences(seq_dirs), ["mse", "ssim"])
+
+    assert len(batched) == 2
+    for i, ((n0, s0), (n1, s1)) in enumerate(zip(single, batched)):
+        assert n0 == n1, i
+        for k in s0:
+            assert abs(s0[k] - s1[k]) < 1e-5, (i, k, s0[k], s1[k])
+        rows_b = (batched_dir / "outputs/std/SYNS" / f"seq{i}" / "FireNet+" /
+                  "mse.txt").read_text()
+        assert rows_b == single_rows[i], i

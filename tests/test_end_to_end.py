@@ -32,6 +32,8 @@ class FakeBundle:
         self.model = build_from_meta(meta)
         self._runners = {}
     runner_for = MethodBundle.runner_for
+    batched_runner_for = MethodBundle.batched_runner_for
+    color_runner_for = MethodBundle.color_runner_for
 
 
 @pytest.fixture(scope="module")
