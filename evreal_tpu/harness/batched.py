@@ -20,8 +20,7 @@ import numpy as np
 
 from evreal_tpu.data.packing import bucket_capacity, pack_windows
 from evreal_tpu.harness.timers import DeviceTimer
-from evreal_tpu.metrics import functional as F
-from evreal_tpu.metrics import lpips as lpips_mod
+from evreal_tpu.metrics import registry as metric_registry
 from evreal_tpu.metrics.tracker import EvalMetricsTracker
 from evreal_tpu.ops.pad import CropParams
 
@@ -48,7 +47,7 @@ class BatchedRunner:
         self.voxel_stage = make_voxel_stage(vox, num_bins, (height, width),
                                             event_norm)
         self._fns = {}
-        self._metric_fn = None
+        self._metric_fns = {}
 
     def init_state(self):
         ph, pw = self.crop.padded_shape
@@ -99,30 +98,25 @@ class BatchedRunner:
                                    buffers["ys"], buffers["ts"],
                                    buffers["ps"], buffers["count"])
 
-    def metric_scores(self, metric_names, clipped, refs):
-        """(N, T, H, W) images/refs -> {name: (N, T)} device arrays."""
-        if self._metric_fn is None:
-            names = [m for m in metric_names if m in ("mse", "ssim", "lpips")]
-            lpips_w = (lpips_mod.load_weights()
-                       if "lpips" in names and lpips_mod.weights_available()
-                       else None)
+    def metric_scores(self, specs, clipped, refs):
+        """(N, T, H, W) images [vs refs] -> {name: (N, T)} device arrays."""
+        key = tuple(s.name for s in specs)
+        if key not in self._metric_fns:
+            fr = [s for s in specs if not s.no_ref]
+            nr = [s for s in specs if s.no_ref]
 
             @jax.jit
             def mfn(imgs, refs):
-                out = {}
                 vv = lambda f: jax.vmap(jax.vmap(f))
-                if "mse" in names:
-                    out["mse"] = vv(F.mse)(imgs, refs)
-                if "ssim" in names:
-                    out["ssim"] = vv(F.ssim)(imgs, refs)
-                if lpips_w is not None:
-                    out["lpips"] = vv(
-                        lambda a, b: lpips_mod.lpips(lpips_w, a, b)[0])(
-                            imgs, refs)
+                out = {}
+                for s in fr:
+                    out[s.name] = vv(s.fn)(imgs, refs)
+                for s in nr:
+                    out[s.name] = vv(s.fn)(imgs)
                 return out
 
-            self._metric_fn = mfn
-        return self._metric_fn(clipped, refs)
+            self._metric_fns[key] = mfn
+        return self._metric_fns[key](clipped, refs)
 
 
 def eval_method_on_sequence_group(dataset_name, eval_config, method_name,
@@ -130,7 +124,7 @@ def eval_method_on_sequence_group(dataset_name, eval_config, method_name,
     """Evaluate one method on N same-resolution sequences in lockstep.
     Returns [(num_evaluated, mean_scores)] aligned with ``sequences``."""
     from evreal_tpu.harness import histeq as histeq_mod
-    from evreal_tpu.harness.runner import NO_REF_METRICS, PIPELINE_DEPTH
+    from evreal_tpu.harness.runner import PIPELINE_DEPTH
 
     seqs = [s["dataset"] for s in sequences]
     n = len(seqs)
@@ -138,14 +132,9 @@ def eval_method_on_sequence_group(dataset_name, eval_config, method_name,
     save_images = eval_config.get("save_images", True)
     eval_infer_all = eval_config.get("eval_infer_all", False)
 
-    known = [m for m in metrics if m in ("mse", "ssim", "lpips")]
-    for m in metrics:
-        if m not in known:
-            print(f"Unknown metric {m}")
-    if "lpips" in known and not lpips_mod.weights_available():
-        print("lpips weights unavailable (see tools/convert_lpips.py); "
-              "skipping lpips")
-        known = [m for m in known if m != "lpips"]
+    specs = metric_registry.resolve(metrics)
+    known = [s.name for s in specs]
+    no_ref_names = tuple(s.name for s in specs if s.no_ref)
 
     trackers, procs, metas_all = [], [], []
     for s, seq in zip(sequences, seqs):
@@ -160,7 +149,7 @@ def eval_method_on_sequence_group(dataset_name, eval_config, method_name,
             quan_eval_end_time=s["end_time_s"],
             quan_eval_ts_tol_ms=eval_config["ts_tol_ms"],
             has_reference_frames=seq.has_images,
-            no_ref_metric_names=NO_REF_METRICS))
+            no_ref_metric_names=no_ref_names))
         metas = [seq.window(i) for i in range(len(seq))]
         proc = []
         for i, m in enumerate(metas):
@@ -227,11 +216,14 @@ def eval_method_on_sequence_group(dataset_name, eval_config, method_name,
                 if hist_eq != "none":
                     proc_img = histeq_mod.histogram_equalization(clp, hist_eq)
                     frame_scores = {}
-                    if known and ref is not None:
-                        proc_ref = histeq_mod.histogram_equalization(
+                    use = specs if ref is not None else [s for s in specs
+                                                         if s.no_ref]
+                    if use:
+                        proc_ref = (histeq_mod.histogram_equalization(
                             np.clip(ref, 0, 1), hist_eq)
+                            if ref is not None else np.zeros_like(proc_img))
                         fs = runner.metric_scores(
-                            known, jnp.asarray(proc_img[None, None]),
+                            use, jnp.asarray(proc_img[None, None]),
                             jnp.asarray(proc_ref[None, None]))
                         frame_scores = {k: float(v[0, 0])
                                         for k, v in fs.items()}
@@ -253,9 +245,12 @@ def eval_method_on_sequence_group(dataset_name, eval_config, method_name,
         bufs, chunk_info, refs = pack_chunk(k)
         state, images, clipped = runner.run(state, bufs)
         scores_dev = None
-        if known and any_images and hist_eq == "none":
-            scores_dev = runner.metric_scores(known, clipped,
-                                              jnp.asarray(refs))
+        use = (specs if any_images
+               else [s for s in specs if s.no_ref])
+        if use and hist_eq == "none":
+            r = (jnp.asarray(refs) if refs is not None
+                 else jnp.zeros_like(clipped))
+            scores_dev = runner.metric_scores(use, clipped, r)
         pending.append((chunk_info, refs, images, clipped, scores_dev))
         if len(pending) >= PIPELINE_DEPTH:
             drain(pending.pop(0))

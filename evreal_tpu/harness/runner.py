@@ -32,8 +32,7 @@ from evreal_tpu.harness.config import (
 )
 from evreal_tpu.harness.tables import color_error, color_progress, print_scores
 from evreal_tpu.harness.timers import DeviceTimer
-from evreal_tpu.metrics import functional as F
-from evreal_tpu.metrics import lpips as lpips_mod
+from evreal_tpu.metrics import registry as metric_registry
 from evreal_tpu.metrics.tracker import EvalMetricsTracker, MetricTracker
 from evreal_tpu.models import build_from_meta
 from evreal_tpu.ops.normalize import normalize_event_tensor, post_process_normalization
@@ -42,7 +41,6 @@ from evreal_tpu.ops.voxelize import voxelize_matmul, voxelize_scatter
 
 DEFAULT_CHUNK_T = 32
 PIPELINE_DEPTH = 8  # chunks in flight on device before the host drains one
-NO_REF_METRICS = ()  # no-reference metrics land here when implemented
 
 
 def make_voxel_stage(vox_fn, num_bins, hw, event_norm):
@@ -136,7 +134,7 @@ class MethodRunner:
         self.voxel_stage = make_voxel_stage(self._vox, num_bins,
                                             (height, width), event_norm)
         self._fns = {}
-        self._metric_fn = None
+        self._metric_fns = {}
 
     def init_state(self):
         ph, pw = self.crop.padded_shape
@@ -175,29 +173,25 @@ class MethodRunner:
                                    buffers["ys"], buffers["ts"],
                                    buffers["ps"], buffers["count"])
 
-    def metric_scores(self, metric_names, clipped, refs):
-        """Batched metric evaluation: (T,H,W) images vs refs -> name->(T,)."""
-        if self._metric_fn is None:
-            names = [n for n in metric_names if n in ("mse", "ssim", "lpips")]
-            lpips_w = (lpips_mod.load_weights()
-                       if "lpips" in names and lpips_mod.weights_available()
-                       else None)
+    def metric_scores(self, specs, clipped, refs):
+        """Batched metric evaluation: (T,H,W) images [vs refs] ->
+        {name: (T,)} device arrays (async)."""
+        key = tuple(s.name for s in specs)
+        if key not in self._metric_fns:
+            fr = [s for s in specs if not s.no_ref]
+            nr = [s for s in specs if s.no_ref]
 
             @jax.jit
             def mfn(imgs, refs):
                 out = {}
-                if "mse" in names:
-                    out["mse"] = jax.vmap(F.mse)(imgs, refs)
-                if "ssim" in names:
-                    out["ssim"] = jax.vmap(F.ssim)(imgs, refs)
-                if lpips_w is not None:
-                    out["lpips"] = jax.vmap(
-                        lambda a, b: lpips_mod.lpips(lpips_w, a, b)[0])(
-                            imgs, refs)
+                for s in fr:
+                    out[s.name] = jax.vmap(s.fn)(imgs, refs)
+                for s in nr:
+                    out[s.name] = jax.vmap(s.fn)(imgs)
                 return out
 
-            self._metric_fn = mfn
-        return self._metric_fn(clipped, refs)  # device arrays (async)
+            self._metric_fns[key] = mfn
+        return self._metric_fns[key](clipped, refs)
 
 
 # ---------------------------------------------------------------------------
@@ -259,14 +253,9 @@ def eval_method_on_sequence(dataset_name, eval_config, method_name, bundle,
     output_dir = os.path.join("outputs", eval_config["name"], dataset_name,
                               sequence["name"], method_name)
 
-    known = [m for m in metrics if m in ("mse", "ssim", "lpips")]
-    for m in metrics:
-        if m not in known:
-            print(f"Unknown metric {m}")
-    if "lpips" in known and not lpips_mod.weights_available():
-        print("lpips weights unavailable (see tools/convert_lpips.py); "
-              "skipping lpips")
-        known = [m for m in known if m != "lpips"]
+    specs = metric_registry.resolve(metrics)
+    known = [s.name for s in specs]
+    no_ref_names = tuple(s.name for s in specs if s.no_ref)
 
     tracker = EvalMetricsTracker(
         save_images=save_images,
@@ -277,7 +266,7 @@ def eval_method_on_sequence(dataset_name, eval_config, method_name, bundle,
         quan_eval_end_time=sequence["end_time_s"],
         quan_eval_ts_tol_ms=eval_config["ts_tol_ms"],
         has_reference_frames=seq.has_images, color=color,
-        no_ref_metric_names=NO_REF_METRICS)
+        no_ref_metric_names=no_ref_names)
 
     eval_infer_all = eval_config.get("eval_infer_all", False)
     start, end = sequence["start_time_s"], sequence["end_time_s"]
@@ -336,10 +325,13 @@ def eval_method_on_sequence(dataset_name, eval_config, method_name, bundle,
                 np.clip(r, 0, 1), hist_eq) for r in refs])
                 if refs is not None else None)
             scores = {}
-            if known and refs is not None:
+            use = specs if refs is not None else [s for s in specs
+                                                  if s.no_ref]
+            if use:
+                pr = (jnp.asarray(proc_refs) if proc_refs is not None
+                      else jnp.zeros_like(jnp.asarray(proc_imgs)))
                 scores = {k: np.asarray(v) for k, v in runner.metric_scores(
-                    known, jnp.asarray(proc_imgs),
-                    jnp.asarray(proc_refs)).items()}
+                    use, jnp.asarray(proc_imgs), pr).items()}
         else:
             proc_imgs = clipped_np
             scores = ({k: np.asarray(v) for k, v in scores_dev.items()}
@@ -383,9 +375,12 @@ def eval_method_on_sequence(dataset_name, eval_config, method_name, bundle,
             images = images[:valid_t]
             clipped = clipped[:valid_t]
             scores_dev = None
-            if known and refs is not None and hist_eq == "none":
-                scores_dev = runner.metric_scores(known, clipped,
-                                                  jnp.asarray(refs))
+            use = specs if refs is not None else [s for s in specs
+                                                  if s.no_ref]
+            if use and hist_eq == "none":
+                r = (jnp.asarray(refs) if refs is not None
+                     else jnp.zeros_like(clipped))
+                scores_dev = runner.metric_scores(use, clipped, r)
             entry = (chunk, metas, (images, clipped, scores_dev), refs)
         pending.append(entry)
         if len(pending) >= PIPELINE_DEPTH:

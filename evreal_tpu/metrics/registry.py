@@ -1,0 +1,74 @@
+"""Metric plugin registry — the counterpart of the reference's dynamic
+pyiqa factory (utils/eval_metrics.py:100-159): any registered name becomes
+usable via ``eval.py -qm <name>``.
+
+A metric is a jittable function over 2-D float images in [0, 1]:
+
+    full-reference:  fn(img, ref) -> scalar
+    no-reference:    fn(img) -> scalar        (no_ref=True)
+
+The harness vmaps it over frame chunks on device. Register via::
+
+    from evreal_tpu.metrics.registry import register
+    register("mymetric", my_fn, no_ref=False)
+
+Built-ins: mse, ssim, lpips (the last only when converted weights exist).
+"""
+
+import dataclasses
+
+
+@dataclasses.dataclass
+class MetricSpec:
+    name: str
+    fn: object  # jittable callable
+    no_ref: bool = False
+
+
+_REGISTRY = {}
+
+
+def register(name, fn, no_ref=False):
+    _REGISTRY[name.lower()] = MetricSpec(name.lower(), fn, no_ref)
+
+
+def names():
+    _ensure_builtins()
+    return sorted(_REGISTRY)
+
+
+def resolve(metric_names):
+    """Map requested names to specs; prints the reference's messages for
+    unknown/unavailable metrics and returns the usable specs in order."""
+    _ensure_builtins()
+    specs = []
+    for m in metric_names:
+        key = m.lower()
+        if key == "lpips" and key not in _REGISTRY:
+            print("lpips weights unavailable (see tools/convert_lpips.py); "
+                  "skipping lpips")
+            continue
+        spec = _REGISTRY.get(key)
+        if spec is None:
+            print(f"Unknown metric {m}")
+            continue
+        specs.append(spec)
+    return specs
+
+
+_builtins_done = False
+
+
+def _ensure_builtins():
+    global _builtins_done
+    if _builtins_done:
+        return
+    _builtins_done = True
+    from evreal_tpu.metrics import functional as F
+    from evreal_tpu.metrics import lpips as lpips_mod
+
+    register("mse", F.mse)
+    register("ssim", F.ssim)
+    if lpips_mod.weights_available():
+        w = lpips_mod.load_weights()
+        register("lpips", lambda img, ref: lpips_mod.lpips(w, img, ref)[0])
