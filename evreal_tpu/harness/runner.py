@@ -547,7 +547,26 @@ def get_eval_info_str(eval_config, method_names, dataset_configs):
 
 def evaluate(method_names=None, eval_config_names=None, dataset_names=None,
              metrics=None):
-    """Drop-in equivalent of the reference ``evaluate`` (eval.py:413-444)."""
+    """Drop-in equivalent of the reference ``evaluate`` (eval.py:413-444).
+
+    Set ``EVREAL_PROFILE=<dir>`` to capture a jax.profiler trace of the whole
+    run (the TPU analogue of the reference's CudaTimer instrumentation)."""
+    profile_dir = os.environ.get("EVREAL_PROFILE")
+    if profile_dir:
+        import contextlib
+
+        ctx = jax.profiler.trace(profile_dir)
+    else:
+        import contextlib
+
+        ctx = contextlib.nullcontext()
+    with ctx:
+        return _evaluate(method_names, eval_config_names, dataset_names,
+                         metrics)
+
+
+def _evaluate(method_names=None, eval_config_names=None, dataset_names=None,
+              metrics=None):
     if method_names is None:
         method_names = ["E2VID", "E2VID+", "FireNet", "FireNet+",
                         "SPADE-E2VID", "SSL-E2VID", "ET-Net", "HyperE2VID"]
