@@ -72,3 +72,6 @@ def _ensure_builtins():
     if lpips_mod.weights_available():
         w = lpips_mod.load_weights()
         register("lpips", lambda img, ref: lpips_mod.lpips(w, img, ref)[0])
+    from evreal_tpu.metrics import niqe as niqe_mod
+
+    niqe_mod.register_if_available()

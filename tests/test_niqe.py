@@ -1,0 +1,79 @@
+"""NIQE building-block tests (the pristine params file is external, so the
+full score is exercised with synthetic pristine stats)."""
+
+import numpy as np
+import pytest
+
+from evreal_tpu.metrics.niqe import (
+    estimate_aggd,
+    estimate_ggd,
+    mscn,
+    niqe,
+    niqe_features,
+)
+
+
+def test_ggd_recovers_gaussian():
+    rng = np.random.default_rng(0)
+    x = rng.normal(0, 2.0, 200000)
+    alpha, sigma_sq = estimate_ggd(x)
+    assert abs(alpha - 2.0) < 0.1  # Gaussian == GGD with alpha=2
+    assert abs(sigma_sq - 4.0) < 0.1
+
+
+def test_ggd_recovers_laplacian():
+    rng = np.random.default_rng(1)
+    x = rng.laplace(0, 1.0, 200000)
+    alpha, _ = estimate_ggd(x)
+    assert abs(alpha - 1.0) < 0.1
+
+
+def test_aggd_symmetric_case():
+    rng = np.random.default_rng(2)
+    x = rng.normal(0, 1.0, 200000)
+    alpha, mean, sl, sr = estimate_aggd(x)
+    assert abs(alpha - 2.0) < 0.15
+    assert abs(mean) < 0.02
+    assert abs(sl - sr) < 0.05
+
+
+def test_aggd_asymmetric_case():
+    rng = np.random.default_rng(3)
+    left = -np.abs(rng.normal(0, 0.5, 100000))
+    right = np.abs(rng.normal(0, 2.0, 100000))
+    x = np.concatenate([left, right])
+    _, mean, sl, sr = estimate_aggd(x)
+    assert sr > sl * 2
+    assert mean > 0
+
+
+def test_mscn_whitens():
+    rng = np.random.default_rng(4)
+    img = rng.uniform(0, 255, (128, 128))
+    coeff, sigma = mscn(img)
+    assert abs(coeff.mean()) < 0.05
+    assert sigma.min() >= 0
+
+
+def test_niqe_scores_distortion_higher():
+    """With synthetic pristine stats from clean images, a noisy image must
+    score farther from the model than another clean image."""
+    rng = np.random.default_rng(5)
+
+    def clean(seed):
+        r = np.random.default_rng(seed)
+        yy, xx = np.mgrid[0:96, 0:192].astype(np.float64)
+        img = 0.5 + 0.3 * np.sin(xx / (8 + seed % 5)) * np.cos(yy / 11)
+        img += r.normal(0, 0.01, img.shape)
+        # smooth it to look "natural"
+        from scipy.ndimage import gaussian_filter
+        return np.clip(gaussian_filter(img, 1.0), 0, 1)
+
+    feats = np.concatenate([niqe_features(clean(s)) for s in range(8)])
+    mu = feats.mean(0)
+    cov = np.cov(feats, rowvar=False) + np.eye(36) * 1e-6
+
+    good = niqe(clean(100), mu, cov)
+    noisy = niqe(np.clip(clean(100) + rng.normal(0, 0.2, (96, 192)), 0, 1),
+                 mu, cov)
+    assert noisy > good
