@@ -25,6 +25,28 @@ from evreal_tpu.metrics.tracker import EvalMetricsTracker
 from evreal_tpu.ops.pad import CropParams
 
 
+_EVAL_MESH = "unset"
+
+
+def get_eval_mesh():
+    """Mesh for sharding the sequence batch over devices ('dp'). Auto-created
+    when more than one device is visible; EVREAL_MESH=0 disables."""
+    global _EVAL_MESH
+    if _EVAL_MESH == "unset":
+        if os.environ.get("EVREAL_MESH", "1") == "0":
+            _EVAL_MESH = None
+        else:
+            devices = jax.devices()
+            if len(devices) > 1:
+                from evreal_tpu.parallel.mesh import make_mesh
+
+                _EVAL_MESH = make_mesh(len(devices), axes=("dp",),
+                                       devices=devices)
+            else:
+                _EVAL_MESH = None
+    return _EVAL_MESH
+
+
 class BatchedRunner:
     """Compiled lockstep pipeline over a batch of n sequences."""
 
@@ -164,8 +186,14 @@ def eval_method_on_sequence_group(dataset_name, eval_config, method_name,
         procs.append(proc)
 
     resolution = seqs[0].sensor_resolution
+    mesh = get_eval_mesh()
+    n_pad = n
+    if mesh is not None:
+        dp = mesh.shape["dp"]
+        n_pad = -(-n // dp) * dp  # dp-divisible batch; extra rows are
+        # zero-event and their outputs are never read
     runner = bundle.batched_runner_for(resolution, method_config,
-                                       seqs[0].num_bins, n)
+                                       seqs[0].num_bins, n_pad)
     chunk_t = runner.chunk_t
     capacity = bucket_capacity(max(
         (metas_all[k][i]["event_count"] for k in range(n)
@@ -178,11 +206,11 @@ def eval_method_on_sequence_group(dataset_name, eval_config, method_name,
     state = runner.init_state()
 
     def pack_chunk(k):
-        bufs = {key: np.zeros((n, chunk_t, capacity), np.float32)
+        bufs = {key: np.zeros((n_pad, chunk_t, capacity), np.float32)
                 for key in ("xs", "ys", "ts", "ps")}
-        bufs["count"] = np.zeros((n, chunk_t), np.int32)
+        bufs["count"] = np.zeros((n_pad, chunk_t), np.int32)
         chunk_info = []
-        refs = (np.zeros((n, chunk_t) + tuple(resolution), np.float32)
+        refs = (np.zeros((n_pad, chunk_t) + tuple(resolution), np.float32)
                 if any_images and known else None)
         for j, (seq, proc) in enumerate(zip(seqs, procs)):
             idxs = proc[k * chunk_t:(k + 1) * chunk_t]

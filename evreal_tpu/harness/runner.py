@@ -426,7 +426,7 @@ class MethodBundle:
 
     def batched_runner_for(self, sensor_resolution, method_config, num_bins,
                            n):
-        from evreal_tpu.harness.batched import BatchedRunner
+        from evreal_tpu.harness.batched import BatchedRunner, get_eval_mesh
 
         key = ("batched", n) + tuple(sensor_resolution)
         if key not in self._runners:
@@ -436,7 +436,8 @@ class MethodBundle:
                 event_norm=method_config.get("event_tensor_normalization",
                                              False),
                 post_norm=method_config.get("post_process_norm", "none"),
-                height=h, width=w, num_bins=num_bins, n=n)
+                height=h, width=w, num_bins=num_bins, n=n,
+                mesh=get_eval_mesh())
         return self._runners[key]
 
     def color_runner_for(self, sensor_resolution, method_config, num_bins):
