@@ -68,23 +68,30 @@ class BatchedRunner:
                else voxelize_scatter)
         self.voxel_stage = make_voxel_stage(vox, num_bins, (height, width),
                                             event_norm)
+        from evreal_tpu.harness.runner import compute_dtype
+
+        self.dtype = compute_dtype()
+        self._params_cast = (params if self.dtype == jnp.float32 else
+                             jax.tree.map(lambda a: jnp.asarray(a, self.dtype),
+                                          params))
         self._fns = {}
         self._metric_fns = {}
 
     def init_state(self):
         ph, pw = self.crop.padded_shape
-        return self.model.init_state(self.n, ph, pw)
+        return self.model.init_state(self.n, ph, pw, dtype=self.dtype)
 
     def _build(self, capacity):
         from evreal_tpu.ops.normalize import post_process_normalization
 
         model, crop, post_norm = self.model, self.crop, self.post_norm
         voxel_stage = self.voxel_stage
+        dtype = self.dtype
 
         def fn(params, state, xs, ys, ts, ps, count):
             # inputs: (N, T, E) / count (N, T)
             vox = jax.vmap(voxel_stage)(xs, ys, ts, ps, count)  # (N,T,H,W,B)
-            vox = crop.pad(vox)
+            vox = crop.pad(vox).astype(dtype)
             vox = jnp.moveaxis(vox, 1, 0)  # (T, N, ph, pw, B)
 
             def step(st, v):
@@ -92,7 +99,7 @@ class BatchedRunner:
                 return st, out["image"]
 
             state, imgs = jax.lax.scan(step, state, vox)
-            imgs = jnp.moveaxis(imgs, 0, 1)  # (N, T, ph, pw, 1)
+            imgs = jnp.moveaxis(imgs.astype(jnp.float32), 0, 1)
             imgs = crop.crop(imgs)[..., 0]  # (N, T, H, W)
             imgs = jax.vmap(jax.vmap(
                 lambda im: post_process_normalization(im, post_norm)))(imgs)
@@ -116,7 +123,7 @@ class BatchedRunner:
         capacity = buffers["xs"].shape[2]
         if capacity not in self._fns:
             self._fns[capacity] = self._build(capacity)
-        return self._fns[capacity](self.params, state, buffers["xs"],
+        return self._fns[capacity](self._params_cast, state, buffers["xs"],
                                    buffers["ys"], buffers["ts"],
                                    buffers["ps"], buffers["count"])
 

@@ -64,6 +64,13 @@ def default_voxelize_impl():
     return "matmul" if jax.default_backend() == "tpu" else "scatter"
 
 
+def compute_dtype():
+    """Model compute dtype: EVREAL_DTYPE=bfloat16 trades ~1e-2 image accuracy
+    for MXU-rate inference; default float32 for reference parity."""
+    name = os.environ.get("EVREAL_DTYPE", "float32")
+    return jnp.bfloat16 if name in ("bfloat16", "bf16") else jnp.float32
+
+
 # ---------------------------------------------------------------------------
 # model loading
 # ---------------------------------------------------------------------------
@@ -133,28 +140,33 @@ class MethodRunner:
                      else voxelize_scatter)
         self.voxel_stage = make_voxel_stage(self._vox, num_bins,
                                             (height, width), event_norm)
+        self.dtype = compute_dtype()
+        self._params_cast = (params if self.dtype == jnp.float32 else
+                             jax.tree.map(lambda a: jnp.asarray(a, self.dtype),
+                                          params))
         self._fns = {}
         self._metric_fns = {}
 
     def init_state(self):
         ph, pw = self.crop.padded_shape
-        return self.model.init_state(1, ph, pw)
+        return self.model.init_state(1, ph, pw, dtype=self.dtype)
 
     def _build(self, capacity):
         model, crop = self.model, self.crop
         post_norm = self.post_norm
         voxel_stage = self.voxel_stage
+        dtype = self.dtype
 
         def fn(params, state, xs, ys, ts, ps, count):
             vox = voxel_stage(xs, ys, ts, ps, count)
-            vox = crop.pad(vox)
+            vox = crop.pad(vox).astype(dtype)
 
             def step(st, v):
                 out, st = model.apply(params, st, v[None])
                 return st, out["image"][0]
 
             state, imgs = jax.lax.scan(step, state, vox)
-            imgs = crop.crop(imgs)[..., 0]  # (T, H, W)
+            imgs = crop.crop(imgs.astype(jnp.float32))[..., 0]  # (T, H, W)
             imgs = jax.vmap(lambda im: post_process_normalization(
                 im, post_norm))(imgs)
             clipped = jnp.clip(imgs, 0.0, 1.0)
@@ -169,7 +181,7 @@ class MethodRunner:
         capacity = buffers["xs"].shape[1]
         if capacity not in self._fns:
             self._fns[capacity] = self._build(capacity)
-        return self._fns[capacity](self.params, state, buffers["xs"],
+        return self._fns[capacity](self._params_cast, state, buffers["xs"],
                                    buffers["ys"], buffers["ts"],
                                    buffers["ps"], buffers["count"])
 
