@@ -48,6 +48,10 @@ def _install_parse_config_shim():
         def __getitem__(self, name):
             return self._config[name]
 
+    # make the class picklable *as* parse_config.ConfigParser (tests create
+    # reference-schema checkpoints with it)
+    ConfigParser.__module__ = "parse_config"
+    ConfigParser.__qualname__ = "ConfigParser"
     mod.ConfigParser = ConfigParser
     sys.modules["parse_config"] = mod
     return mod

@@ -1,0 +1,145 @@
+"""All-eight-methods end-to-end: synthesize random torch checkpoints in the
+reference's four schemas (eval.py:124-158), then drive ``evaluate`` through
+config resolution, auto-conversion, model build, batched eval and score-table
+aggregation on a tiny synthetic dataset."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/repo/tools")
+from make_synthetic_sequence import make_sequence  # noqa: E402
+
+from evreal_tpu.convert.torch_ckpt import _install_parse_config_shim
+
+from .oracle import ref_module
+
+SMALL_UNET = {"num_bins": 5, "base_num_channels": 8, "kernel_size": 3,
+              "num_encoders": 2, "recurrent_block_type": "convlstm",
+              "num_residual_blocks": 1, "skip_type": "sum", "norm": None,
+              "use_upsample_conv": True}
+
+
+def _config_parser(arch_type, args):
+    shim = _install_parse_config_shim()
+    cp = shim.ConfigParser()
+    cp._config = {"arch": {"type": arch_type, "args": args}}
+    return cp
+
+
+def make_checkpoints(root):
+    """Random-weight checkpoints for all 8 methods, reference schemas."""
+    import torch
+
+    torch.manual_seed(0)
+    mm = ref_module("model.model")
+    legacy = ref_module("model.legacy")
+    spade = ref_module("model.spade_e2v")
+    eitr = ref_module("model.eitr.eitr")
+
+    out = {}
+
+    def save(method, obj):
+        d = os.path.join(root, "pretrained", method)
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, "model.pth")
+        torch.save(obj, path)
+        out[method] = path
+
+    # schema: ckpt['model'] kwargs + state_dict
+    m = mm.E2VIDRecurrent(dict(SMALL_UNET))
+    save("E2VID", {"model": dict(SMALL_UNET), "state_dict": m.state_dict()})
+
+    # schema: ckpt['config']['model'] kwargs (FireNet_legacy)
+    fn_cfg = {"num_bins": 5, "base_num_channels": 8, "kernel_size": 3,
+              "recurrent_block_type": "convgru", "num_residual_blocks": 2,
+              "recurrent_blocks": {"resblock": [0]}, "skip_type": "sum",
+              "norm": "none"}
+    m = legacy.FireNet_legacy(dict(fn_cfg))
+    save("FireNet", {"config": {"model": fn_cfg},
+                     "state_dict": m.state_dict()})
+
+    # schema: pickled ConfigParser
+    m = mm.E2VIDRecurrent(dict(SMALL_UNET))
+    save("E2VID+", {"config": _config_parser(
+        "E2VIDRecurrent", {"unet_kwargs": dict(SMALL_UNET)}),
+        "state_dict": m.state_dict()})
+
+    m = mm.FireNet(num_bins=5, base_num_channels=8, kernel_size=3)
+    save("FireNet+", {"config": _config_parser(
+        "FireNet", {"num_bins": 5, "base_num_channels": 8,
+                    "kernel_size": 3}), "state_dict": m.state_dict()})
+
+    # the dynamic decoder's 1/4-downsampled context only aligns with 3
+    # encoders (decoder-0 output at H/4), as in the real HyperE2VID
+    hyper_kw = dict(SMALL_UNET, use_dynamic_decoder=True,
+                    recurrent_block_type="convgru", num_encoders=3)
+    m = mm.E2VIDRecurrent(dict(hyper_kw))
+    save("HyperE2VID", {"config": _config_parser(
+        "E2VIDRecurrent", {"unet_kwargs": dict(hyper_kw)}),
+        "state_dict": m.state_dict()})
+
+    m = eitr.EITR({"num_bins": 5, "norm": None})
+    save("ET-Net", {"config": _config_parser(
+        "EITR", {"eitr_kwargs": {"num_bins": 5, "norm": None}}),
+        "state_dict": m.state_dict()})
+
+    # schema: checkpoint IS the state_dict
+    save("SPADE-E2VID", spade.Unet6().state_dict())
+    ssl_kw = {"base_num_channels": 32, "kernel_size": 5, "num_bins": 5,
+              "num_encoders": 3, "recurrent_block_type": "convlstm",
+              "num_residual_blocks": 2, "skip_type": "sum", "norm": None,
+              "use_upsample_conv": True}
+    m = mm.E2VIDRecurrent(ssl_kw)
+    save("SSL-E2VID", m.state_dict())
+    return out
+
+
+METHODS = ["E2VID", "E2VID+", "FireNet", "FireNet+", "SPADE-E2VID",
+           "SSL-E2VID", "ET-Net", "HyperE2VID"]
+
+
+@pytest.mark.slow
+def test_all_eight_methods(tmp_path, monkeypatch, capsys):
+    monkeypatch.chdir(tmp_path)
+    ckpts = make_checkpoints(str(tmp_path))
+
+    make_sequence(str(tmp_path / "data" / "SYN" / "seq0"), height=32,
+                  width=48, duration_s=0.6, fps=15, events_per_frame=400,
+                  seed=9)
+
+    os.makedirs("config/method", exist_ok=True)
+    os.makedirs("config/dataset", exist_ok=True)
+    for method, path in ckpts.items():
+        with open(f"config/method/{method}.json", "w",
+                  encoding="utf-8") as f:
+            json.dump({"model_name": method, "model_path": path,
+                       "event_tensor_normalization":
+                           method in ("E2VID", "FireNet"),
+                       "post_process_norm":
+                           {"E2VID": "robust",
+                            "SSL-E2VID": "exprobust"}.get(method, "none")},
+                      f)
+    with open("config/dataset/SYN.json", "w", encoding="utf-8") as f:
+        json.dump({"root_path": "data/SYN",
+                   "sequences": {"seq0": {"start_time_s": 0.05,
+                                          "end_time_s": 0.5}}}, f)
+
+    from evreal_tpu.harness import evaluate
+
+    evaluate(METHODS, ["std"], ["SYN"], ["mse", "ssim"])
+    out = capsys.readouterr().out
+    assert "Image Quality Scores" in out
+    assert "Exception" not in out, out
+
+    for method in METHODS:
+        mdir = tmp_path / "outputs" / "std" / "SYN" / "seq0" / method
+        assert (mdir / "timestamps.txt").exists(), method
+        rows = (mdir / "mse.txt").read_text().splitlines()
+        assert rows, method
+        for row in rows:
+            val = float(row.split()[1])
+            assert np.isfinite(val), (method, row)
