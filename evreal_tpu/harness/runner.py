@@ -16,7 +16,6 @@ import glob
 import os
 import traceback
 from collections import OrderedDict
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -564,15 +563,11 @@ def evaluate(method_names=None, eval_config_names=None, dataset_names=None,
 
     Set ``EVREAL_PROFILE=<dir>`` to capture a jax.profiler trace of the whole
     run (the TPU analogue of the reference's CudaTimer instrumentation)."""
+    import contextlib
+
     profile_dir = os.environ.get("EVREAL_PROFILE")
-    if profile_dir:
-        import contextlib
-
-        ctx = jax.profiler.trace(profile_dir)
-    else:
-        import contextlib
-
-        ctx = contextlib.nullcontext()
+    ctx = (jax.profiler.trace(profile_dir) if profile_dir
+           else contextlib.nullcontext())
     with ctx:
         return _evaluate(method_names, eval_config_names, dataset_names,
                          metrics)

@@ -16,8 +16,6 @@ over ``sp`` (GSPMD inserts conv halo exchanges), and wide conv kernels over
 psum GSPMD derives from the sharded loss mean.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import optax
