@@ -40,12 +40,13 @@ def main():
 
     rng = np.random.default_rng(0)
     cap = 32768
+    # compact packed dtypes, as emitted by data/packing.py
     buffers = {
-        "xs": rng.integers(0, w, (chunk_t, cap)).astype(np.float32),
-        "ys": rng.integers(0, h, (chunk_t, cap)).astype(np.float32),
+        "xs": rng.integers(0, w, (chunk_t, cap)).astype(np.int16),
+        "ys": rng.integers(0, h, (chunk_t, cap)).astype(np.int16),
         "ts": np.sort(rng.uniform(0, 0.04, (chunk_t, cap)).astype(np.float32),
                       axis=1),
-        "ps": (rng.integers(0, 2, (chunk_t, cap)) * 2 - 1).astype(np.float32),
+        "ps": (rng.integers(0, 2, (chunk_t, cap)) * 2 - 1).astype(np.int8),
         "count": np.full((chunk_t,), n_events, np.int32),
     }
     buffers["ts"] -= buffers["ts"][:, :1]

@@ -44,9 +44,17 @@ PIPELINE_DEPTH = 8  # chunks in flight on device before the host drains one
 
 def make_voxel_stage(vox_fn, num_bins, hw, event_norm):
     """Jittable (xs, ys, ts, ps, count) -> (T, H, W, B) voxel stage shared by
-    the grayscale and color runners."""
+    the grayscale and color runners.
+
+    Accepts the compact packed dtypes (int16 coords, int8 ±1 polarity,
+    float32 timestamps — see data/packing.py) and upcasts on device, where
+    the conversion fuses into the binning program; plain float32 buffers
+    also work (tests / synthetic paths)."""
 
     def stage(xs, ys, ts, ps, count):
+        ts = ts.astype(jnp.float32)
+        ps = ps.astype(jnp.float32)
+
         def one(x, y, t, p, c):
             return jnp.transpose(vox_fn(x, y, t, p, c, num_bins, hw),
                                  (1, 2, 0))

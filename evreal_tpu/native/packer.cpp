@@ -1,0 +1,63 @@
+// Fused event-window packer — the native data-loader component of the
+// runtime (counterpart of the per-item work the reference does inside
+// MemMapDataset.__getitem__/DataLoader, dataset.py:33-102, which it runs in
+// Python per frame).
+//
+// One pass per window over the raw memmapped event arrays:
+//   * deinterleave (N,2) int16 xy into xs/ys rows,
+//   * map polarity bytes {0,1} -> {-1,+1} int8,
+//   * zero-base timestamps and narrow f64 -> f32,
+//   * zero the tail of each fixed-capacity row.
+//
+// Called through ctypes (GIL released for the duration), so the host packs
+// chunk k+1 while Python drains chunk k's device results.
+
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+
+// All out_* buffers are (t_rows, capacity), C-contiguous, caller-allocated
+// (not pre-zeroed). idx0/idx1 index into the full event arrays.
+// Returns 0 on success, -1 if any window exceeds capacity / has bad bounds.
+int evreal_pack_i16(
+    const double* ts, const int16_t* xy, const uint8_t* p,
+    int64_t num_events,
+    const int64_t* idx0, const int64_t* idx1, int64_t t_rows,
+    int64_t capacity,
+    float* out_ts, int16_t* out_xs, int16_t* out_ys, int8_t* out_ps,
+    int32_t* out_count) {
+  for (int64_t r = 0; r < t_rows; ++r) {
+    const int64_t i0 = idx0[r];
+    const int64_t i1 = idx1[r];
+    const int64_t n = i1 - i0;
+    if (i0 < 0 || i1 > num_events || n < 0 || n > capacity) return -1;
+    out_count[r] = static_cast<int32_t>(n);
+
+    float* row_ts = out_ts + r * capacity;
+    int16_t* row_xs = out_xs + r * capacity;
+    int16_t* row_ys = out_ys + r * capacity;
+    int8_t* row_ps = out_ps + r * capacity;
+
+    const double t0 = n > 0 ? ts[i0] : 0.0;
+    const int16_t* exy = xy + 2 * i0;
+    const double* ets = ts + i0;
+    const uint8_t* ep = p + i0;
+    for (int64_t i = 0; i < n; ++i) {
+      row_xs[i] = exy[2 * i];
+      row_ys[i] = exy[2 * i + 1];
+      row_ts[i] = static_cast<float>(ets[i] - t0);
+      row_ps[i] = static_cast<int8_t>(2 * static_cast<int>(ep[i] & 1) - 1);
+    }
+    const int64_t tail = capacity - n;
+    if (tail > 0) {
+      std::memset(row_ts + n, 0, tail * sizeof(float));
+      std::memset(row_xs + n, 0, tail * sizeof(int16_t));
+      std::memset(row_ys + n, 0, tail * sizeof(int16_t));
+      std::memset(row_ps + n, 0, tail * sizeof(int8_t));
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"
