@@ -68,6 +68,14 @@ def make_voxel_stage(vox_fn, num_bins, hw, event_norm):
 
 
 def default_voxelize_impl():
+    """'matmul' (MXU one-hot contraction) on TPU, 'scatter' elsewhere.
+    Override with EVREAL_VOXELIZE=matmul|scatter. Measured on v5e at ECD
+    scale (32x30k events): matmul 129 Mev/s, scatter 45 Mev/s; the Pallas
+    kernel (kernels/voxelize_pallas.py) matches matmul single-window but
+    does not vmap-lower, so the batched pipeline uses the XLA matmul."""
+    env = os.environ.get("EVREAL_VOXELIZE")
+    if env in ("matmul", "scatter"):
+        return env
     return "matmul" if jax.default_backend() == "tpu" else "scatter"
 
 

@@ -9,6 +9,13 @@ round-trips for intermediates.
 Grid: one program per chunk of events. Inputs are the precomputed per-event
 (row_lo, row_hi, w_lo, w_hi, col) streams (cheap elementwise prep shared with
 the jnp paths).
+
+Measured on v5e at ECD scale (30k events, 180x240, 5 bins): 22 Mev/s
+single-window vs the XLA one-hot matmul's 25 Mev/s (129 Mev/s batched over
+32 windows, ~93% of MXU peak at Precision.HIGH). The kernel lowers and runs
+on real TPU *unbatched*; under jax.vmap the auto-batched 1-D block shapes
+violate Mosaic's (8, 128) tiling rule, so the batched eval pipeline uses
+ops.voxelize.voxelize_matmul, which XLA fuses equivalently.
 """
 
 import functools
