@@ -89,22 +89,26 @@ class BatchedRunner:
         dtype = self.dtype
 
         def fn(params, state, xs, ys, ts, ps, count):
-            # inputs: (N, T, E) / count (N, T)
-            vox = jax.vmap(voxel_stage)(xs, ys, ts, ps, count)  # (N,T,H,W,B)
-            vox = crop.pad(vox).astype(dtype)
-            vox = jnp.moveaxis(vox, 1, 0)  # (T, N, ph, pw, B)
+            from evreal_tpu.harness.runner import matmul_precision_ctx
 
-            def step(st, v):
-                out, st = model.apply(params, st, v)
-                return st, out["image"]
+            with matmul_precision_ctx(dtype):
+                # inputs: (N, T, E) / count (N, T)
+                vox = jax.vmap(voxel_stage)(xs, ys, ts, ps, count)
+                vox = crop.pad(vox).astype(dtype)  # (N,T,H,W,B)
+                vox = jnp.moveaxis(vox, 1, 0)  # (T, N, ph, pw, B)
 
-            state, imgs = jax.lax.scan(step, state, vox)
-            imgs = jnp.moveaxis(imgs.astype(jnp.float32), 0, 1)
-            imgs = crop.crop(imgs)[..., 0]  # (N, T, H, W)
-            imgs = jax.vmap(jax.vmap(
-                lambda im: post_process_normalization(im, post_norm)))(imgs)
-            clipped = jnp.clip(imgs, 0.0, 1.0)
-            return state, imgs, clipped
+                def step(st, v):
+                    out, st = model.apply(params, st, v)
+                    return st, out["image"]
+
+                state, imgs = jax.lax.scan(step, state, vox)
+                imgs = jnp.moveaxis(imgs.astype(jnp.float32), 0, 1)
+                imgs = crop.crop(imgs)[..., 0]  # (N, T, H, W)
+                imgs = jax.vmap(jax.vmap(
+                    lambda im: post_process_normalization(im,
+                                                          post_norm)))(imgs)
+                clipped = jnp.clip(imgs, 0.0, 1.0)
+                return state, imgs, clipped
 
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -136,13 +140,16 @@ class BatchedRunner:
 
             @jax.jit
             def mfn(imgs, refs):
-                vv = lambda f: jax.vmap(jax.vmap(f))
-                out = {}
-                for s in fr:
-                    out[s.name] = vv(s.fn)(imgs, refs)
-                for s in nr:
-                    out[s.name] = vv(s.fn)(imgs)
-                return out
+                from evreal_tpu.harness.runner import matmul_precision_ctx
+
+                with matmul_precision_ctx():
+                    vv = lambda f: jax.vmap(jax.vmap(f))
+                    out = {}
+                    for s in fr:
+                        out[s.name] = vv(s.fn)(imgs, refs)
+                    for s in nr:
+                        out[s.name] = vv(s.fn)(imgs)
+                    return out
 
             self._metric_fns[key] = mfn
         return self._metric_fns[key](clipped, refs)

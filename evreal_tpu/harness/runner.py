@@ -86,6 +86,22 @@ def compute_dtype():
     return jnp.bfloat16 if name in ("bfloat16", "bf16") else jnp.float32
 
 
+def matmul_precision_ctx(dtype=jnp.float32):
+    """Trace-time matmul precision for the compiled pipelines.
+
+    TPU's default is a single bf16 pass even for f32 arrays; measured on
+    FireNet+ golden weights that drifts reconstructions by up to 7.5e-3 vs
+    CPU f32, while 'highest' stays at 4e-5 — and eval-scale convs are not
+    MXU-bound, so the cost is nil (bench: within tunnel noise). Strict-parity
+    f32 mode therefore pins 'highest'; bf16 mode keeps the backend default
+    (precision is the explicit trade there)."""
+    import contextlib
+
+    if dtype == jnp.float32:
+        return jax.default_matmul_precision("highest")
+    return contextlib.nullcontext()
+
+
 # ---------------------------------------------------------------------------
 # model loading
 # ---------------------------------------------------------------------------
@@ -173,19 +189,20 @@ class MethodRunner:
         dtype = self.dtype
 
         def fn(params, state, xs, ys, ts, ps, count):
-            vox = voxel_stage(xs, ys, ts, ps, count)
-            vox = crop.pad(vox).astype(dtype)
+            with matmul_precision_ctx(dtype):
+                vox = voxel_stage(xs, ys, ts, ps, count)
+                vox = crop.pad(vox).astype(dtype)
 
-            def step(st, v):
-                out, st = model.apply(params, st, v[None])
-                return st, out["image"][0]
+                def step(st, v):
+                    out, st = model.apply(params, st, v[None])
+                    return st, out["image"][0]
 
-            state, imgs = jax.lax.scan(step, state, vox)
-            imgs = crop.crop(imgs.astype(jnp.float32))[..., 0]  # (T, H, W)
-            imgs = jax.vmap(lambda im: post_process_normalization(
-                im, post_norm))(imgs)
-            clipped = jnp.clip(imgs, 0.0, 1.0)
-            return state, imgs, clipped
+                state, imgs = jax.lax.scan(step, state, vox)
+                imgs = crop.crop(imgs.astype(jnp.float32))[..., 0]  # (T,H,W)
+                imgs = jax.vmap(lambda im: post_process_normalization(
+                    im, post_norm))(imgs)
+                clipped = jnp.clip(imgs, 0.0, 1.0)
+                return state, imgs, clipped
 
         # NOTE: no donate_argnums — buffer donation triggers an
         # InvalidArgument on device->host transfers under the axon TPU
@@ -210,12 +227,13 @@ class MethodRunner:
 
             @jax.jit
             def mfn(imgs, refs):
-                out = {}
-                for s in fr:
-                    out[s.name] = jax.vmap(s.fn)(imgs, refs)
-                for s in nr:
-                    out[s.name] = jax.vmap(s.fn)(imgs)
-                return out
+                with matmul_precision_ctx():
+                    out = {}
+                    for s in fr:
+                        out[s.name] = jax.vmap(s.fn)(imgs, refs)
+                    for s in nr:
+                        out[s.name] = jax.vmap(s.fn)(imgs)
+                    return out
 
             self._metric_fns[key] = mfn
         return self._metric_fns[key](clipped, refs)

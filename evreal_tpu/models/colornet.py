@@ -55,6 +55,12 @@ class ColorRunner:
         voxel_stage = self.voxel_stage
 
         def fn(params, state, xs, ys, ts, ps, count):
+            from evreal_tpu.harness.runner import matmul_precision_ctx
+
+            with matmul_precision_ctx():
+                return inner(params, state, xs, ys, ts, ps, count)
+
+        def inner(params, state, xs, ys, ts, ps, count):
             voxels = voxel_stage(xs, ys, ts, ps, count)  # (T, H, W, B)
             color_stack = jnp.stack(
                 [voxels[:, CHANNEL_SLICES[c][0], CHANNEL_SLICES[c][1], :]
