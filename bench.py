@@ -52,19 +52,21 @@ def main():
     buffers["ts"] -= buffers["ts"][:, :1]
 
     state = runner.init_state()
-    # warmup / compile
+    # warmup / compile (incl. the scalar-fence reduction)
     state, imgs, _ = runner.run(state, buffers)
-    imgs.block_until_ready()
+    float(imgs.sum())
 
     # steady state: async-chained chunks (the eval loop's pipelined pattern),
-    # best of 3 to shed axon-tunnel scheduling noise
+    # best of 3 to shed axon-tunnel scheduling noise. The fence is a device
+    # scalar fetch: through the axon tunnel block_until_ready has been
+    # observed returning before execution finishes, a value fetch has not.
     iters = 8
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(iters):
             state, imgs, _ = runner.run(state, buffers)
-        imgs.block_until_ready()
+        float(imgs.sum())
         best = min(best, (time.perf_counter() - t0) / (iters * chunk_t))
 
     fps = 1.0 / best
