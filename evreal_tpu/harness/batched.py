@@ -244,7 +244,9 @@ def eval_method_on_sequence_group(dataset_name, eval_config, method_name,
     def drain(entry):
         chunk_info, refs, images_dev, clipped_dev, scores_dev = entry
         images = np.asarray(images_dev)
-        clipped = np.asarray(clipped_dev)
+        # clipped is only needed on host for hist-eq (tracker re-clips
+        # `images`); skipping the fetch halves device->host bytes
+        clipped = (np.asarray(clipped_dev) if hist_eq != "none" else None)
         scores = ({k: np.asarray(v) for k, v in scores_dev.items()}
                   if scores_dev else {})
         for j, idxs in enumerate(chunk_info):
@@ -252,11 +254,11 @@ def eval_method_on_sequence_group(dataset_name, eval_config, method_name,
             for r, i in enumerate(idxs):
                 meta = metas_all[j][i]
                 img = images[j, r]
-                clp = clipped[j, r]
                 ref = refs[j, r] if (refs is not None and seq.has_images) \
                     else None
                 if hist_eq != "none":
-                    proc_img = histeq_mod.histogram_equalization(clp, hist_eq)
+                    proc_img = histeq_mod.histogram_equalization(
+                        clipped[j, r], hist_eq)
                     frame_scores = {}
                     use = specs if ref is not None else [s for s in specs
                                                          if s.no_ref]

@@ -31,7 +31,46 @@ def append_result(path, description, result, is_int=False):
 
 def save_inferred_image(folder, image, idx):
     png_path = os.path.join(folder, "frame_{:010d}.png".format(idx))
-    cv2.imwrite(png_path, np.round(image * 255).astype(np.uint8))
+    ok = cv2.imwrite(png_path, np.round(image * 255).astype(np.uint8))
+    if not ok:  # cv2 fails silently (returns False) on unwritable paths
+        raise OSError(f"failed to write {png_path}")
+
+
+class AsyncImageWriter:
+    """Background PNG writer. cv2.imwrite releases the GIL, so encoding
+    overlaps the main thread's device waits — on this 1-core host PNG
+    saving (~0.4 ms/frame at ECD size) would otherwise serialize with the
+    eval loop. The queue is bounded so a slow disk backpressures instead of
+    ballooning memory; ``close()`` drains and re-raises any write error."""
+
+    def __init__(self, maxsize=128):
+        import queue
+        import threading
+
+        self._q = queue.Queue(maxsize)
+        self._err = None
+        self._t = threading.Thread(target=self._loop, daemon=True)
+        self._t.start()
+
+    def _loop(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            folder, image, idx = item
+            try:
+                save_inferred_image(folder, image, idx)
+            except Exception as e:  # noqa: BLE001 — surfaced in close()
+                self._err = e
+
+    def submit(self, folder, image, idx):
+        self._q.put((folder, image, idx))
+
+    def close(self):
+        self._q.put(None)
+        self._t.join()
+        if self._err is not None:
+            raise self._err
 
 
 def truncate(path):

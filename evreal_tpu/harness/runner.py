@@ -361,8 +361,11 @@ def eval_method_on_sequence(dataset_name, eval_config, method_name, bundle,
             return
         images_dev, clipped_dev, scores_dev = tensors
         images = np.asarray(images_dev)
-        clipped_np = np.asarray(clipped_dev)
         if hist_eq != "none":
+            # the clipped tensor is only needed on host for hist-eq; the
+            # tracker re-clips `images` itself, so the std path skips this
+            # device->host transfer entirely
+            clipped_np = np.asarray(clipped_dev)
             proc_imgs = np.stack([histeq_mod.histogram_equalization(im,
                                                                     hist_eq)
                                   for im in clipped_np])
@@ -378,7 +381,7 @@ def eval_method_on_sequence(dataset_name, eval_config, method_name, bundle,
                 scores = {k: np.asarray(v) for k, v in runner.metric_scores(
                     use, jnp.asarray(proc_imgs), pr).items()}
         else:
-            proc_imgs = clipped_np
+            proc_imgs = None  # tracker clips `images` itself
             scores = ({k: np.asarray(v) for k, v in scores_dev.items()}
                       if scores_dev else {})
         for j, (i, meta) in enumerate(zip(chunk, metas)):

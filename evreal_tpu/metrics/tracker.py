@@ -16,10 +16,10 @@ import os
 import shutil
 
 from evreal_tpu.harness.outputs import (
+    AsyncImageWriter,
     append_result,
     append_timestamp,
     ensure_dir,
-    save_inferred_image,
     truncate,
 )
 
@@ -113,9 +113,10 @@ class EvalMetricsTracker:
 
         img = np.clip(img, 0.0, 1.0)
         if self.save_images:
-            save_inferred_image(self.output_dir, img, idx)
+            self._writer().submit(self.output_dir, img, idx)
         if self.save_processed_images and processed_img is not None:
-            save_inferred_image(self.processed_output_dir, processed_img, idx)
+            self._writer().submit(self.processed_output_dir, processed_img,
+                                  idx)
 
         inside_cut = self.start_time <= img_ts <= self.end_time
         tol_ok = (abs(ref_ts - img_ts) * 1000 <= self.ts_tol_ms
@@ -139,8 +140,17 @@ class EvalMetricsTracker:
 
     # -- aggregation ----------------------------------------------------------
 
+    def _writer(self):
+        if getattr(self, "_image_writer", None) is None:
+            self._image_writer = AsyncImageWriter()
+        return self._image_writer
+
     def finalize(self, idx):
-        pass  # no batched queues to flush
+        """Flush the background PNG writer (the reference's finalize flushes
+        its pyiqa batch queues, eval_metrics.py:225-228)."""
+        if getattr(self, "_image_writer", None) is not None:
+            self._image_writer.close()
+            self._image_writer = None
 
     def get_num_quan_evaluations(self):
         return len(self.quan_eval_indices)

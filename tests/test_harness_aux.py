@@ -98,3 +98,28 @@ def test_tracker_gating_and_nan_dropping(tmp_path):
     assert rows == ["1 0.20000"]
     ts_rows = (tmp_path / "timestamps.txt").read_text().splitlines()
     assert len(ts_rows) == 5
+
+
+def test_async_image_writer_flush_and_error(tmp_path):
+    import numpy as np
+
+    from evreal_tpu.harness.outputs import AsyncImageWriter
+    from evreal_tpu.metrics.tracker import EvalMetricsTracker
+
+    d = str(tmp_path / "out")
+    tr = EvalMetricsTracker(save_images=True, output_dir=d,
+                            quan_eval_metric_names=["mse"],
+                            has_reference_frames=True)
+    img = np.random.default_rng(0).random((16, 16)).astype(np.float32)
+    for i in range(20):
+        tr.update(i, img, img, float(i), float(i), scores={"mse": 0.1})
+    tr.finalize(19)
+    import glob
+    import os
+    assert len(glob.glob(os.path.join(d, "frame_*.png"))) == 20
+    # a failing write surfaces at close()
+    w = AsyncImageWriter()
+    w.submit(str(tmp_path / "nonexistent" / "dir"), img, 0)
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        w.close()
