@@ -17,8 +17,6 @@ import shutil
 
 from evreal_tpu.harness.outputs import (
     AsyncImageWriter,
-    append_result,
-    append_timestamp,
     ensure_dir,
     truncate,
 )
@@ -82,6 +80,7 @@ class EvalMetricsTracker:
                                for m in self.metric_names)
         self.scores = {m: [] for m in self.metric_names}
         self.quan_eval_indices = []
+        self._files = {}
         self._setup_outputs()
 
     # -- files ---------------------------------------------------------------
@@ -103,13 +102,23 @@ class EvalMetricsTracker:
 
     # -- per-frame -----------------------------------------------------------
 
+    def _append(self, path, line):
+        """Per-frame incremental appends through persistent line-buffered
+        handles (same on-disk behavior as the reference's open-per-append,
+        eval_utils.py:57-69, at ~5x less host cost on this 1-core box)."""
+        f = self._files.get(path)
+        if f is None:
+            f = open(path, "a", buffering=1, encoding="utf-8")
+            self._files[path] = f
+        f.write(line)
+
     def update(self, idx, img, ref, img_ts, ref_ts=None, scores=None,
                processed_img=None):
         """Record one frame. ``scores``: device-computed metric values for
         this frame (already on clipped+processed images)."""
         if ref_ts is None:
             ref_ts = img_ts
-        append_timestamp(self._ts_path(), idx, img_ts)
+        self._append(self._ts_path(), "{} {:.15f}\n".format(idx, img_ts))
 
         img = np.clip(img, 0.0, 1.0)
         if self.save_images:
@@ -129,14 +138,19 @@ class EvalMetricsTracker:
                 s = float(scores[name])
                 if math.isfinite(s):
                     self.scores[name].append(s)
-                    append_result(self._metric_path(name), idx, s)
+                    self._append(self._metric_path(name),
+                                 "{} {:.5f}\n".format(idx, s))
 
     def save_custom_metric(self, idx, metric_name, metric_value, is_int=False):
         path = os.path.join(self.output_dir, metric_name + ".txt")
         if idx == 0 or not getattr(self, f"_custom_{metric_name}", False):
+            f = self._files.pop(path, None)
+            if f is not None:
+                f.close()
             truncate(path)
             setattr(self, f"_custom_{metric_name}", True)
-        append_result(path, idx, metric_value, is_int)
+        fmt = "{} {}\n" if is_int else "{} {:.5f}\n"
+        self._append(path, fmt.format(idx, metric_value))
 
     # -- aggregation ----------------------------------------------------------
 
@@ -146,11 +160,15 @@ class EvalMetricsTracker:
         return self._image_writer
 
     def finalize(self, idx):
-        """Flush the background PNG writer (the reference's finalize flushes
-        its pyiqa batch queues, eval_metrics.py:225-228)."""
+        """Flush the background PNG writer and close txt handles (the
+        reference's finalize flushes its pyiqa batch queues,
+        eval_metrics.py:225-228)."""
         if getattr(self, "_image_writer", None) is not None:
             self._image_writer.close()
             self._image_writer = None
+        for f in self._files.values():
+            f.close()
+        self._files = {}
 
     def get_num_quan_evaluations(self):
         return len(self.quan_eval_indices)
