@@ -88,6 +88,11 @@ def main():
     ap.add_argument("--out", default="runs/train")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--log-every", type=int, default=10)
+    ap.add_argument("--save-every", type=int, default=0,
+                    help="checkpoint (params+opt_state+step) every N steps "
+                         "via orbax; 0 disables")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from the latest checkpoint under --out")
     args = ap.parse_args()
 
     seq_dirs = sorted(d for d in glob.glob(os.path.join(args.data, "*"))
@@ -117,9 +122,37 @@ def main():
     step_fn, opt = make_train_step(model, optax.adam(args.lr), mesh=mesh)
     opt_state = opt.init(params)
 
-    rng = np.random.default_rng(args.seed)
     os.makedirs(args.out, exist_ok=True)
-    for step in range(1, args.steps + 1):
+    manager = None
+    start_step = 0
+    if args.save_every > 0 or args.resume:
+        # Job-level checkpoint/resume — the reference has model checkpoints
+        # only, no job resume (SURVEY §5; eval_metrics.py:315-324 truncates
+        # outputs every run).
+        import orbax.checkpoint as ocp
+
+        manager = ocp.CheckpointManager(
+            os.path.abspath(os.path.join(args.out, "ckpt")),
+            options=ocp.CheckpointManagerOptions(max_to_keep=3))
+        latest = manager.latest_step()
+        if args.resume and latest is not None:
+            restored = manager.restore(
+                latest, args=ocp.args.StandardRestore(
+                    {"params": params, "opt_state": opt_state}))
+            params, opt_state = restored["params"], restored["opt_state"]
+            start_step = latest
+            print(f"resumed from step {latest}", flush=True)
+
+    # advance the sampler stream deterministically past consumed steps so a
+    # resumed run sees the batches it would have seen uninterrupted (mirrors
+    # sample_batch's draw pattern without touching the data)
+    rng = np.random.default_rng(args.seed)
+    for _ in range(start_step):
+        for _ in range(args.batch):
+            seq = seqs[rng.integers(len(seqs))]
+            rng.integers(max(len(seq) - args.chunk_t, 1))
+
+    for step in range(start_step + 1, args.steps + 1):
         batch = sample_batch(seqs, voxelize, rng, args.batch, args.chunk_t,
                              args.num_bins, crop)
         if mesh is not None:
@@ -132,6 +165,14 @@ def main():
         params, opt_state, loss = step_fn(params, opt_state, batch)
         if step % args.log_every == 0 or step == 1:
             print(f"step {step}: loss {float(loss):.5f}", flush=True)
+        if manager is not None and args.save_every > 0 and \
+                step % args.save_every == 0:
+            import orbax.checkpoint as ocp
+
+            manager.save(step, args=ocp.args.StandardSave(
+                {"params": params, "opt_state": opt_state}))
+    if manager is not None:
+        manager.wait_until_finished()
 
     out_path = os.path.join(args.out, "model.npz")
     flat = {}
