@@ -1,0 +1,194 @@
+#!/usr/bin/env python
+"""Train an event-video reconstruction model from scratch (capability
+extension — the reference is inference-only, README.md:8).
+
+Truncated-BPTT over fixed-length window chunks with MSE reconstruction loss;
+batches are (sequence, chunk) pairs sampled from the dataset; multi-device
+meshes shard batch/dp, width/sp, wide kernels/tp.
+
+    python train_cli.py --data data/SYN --arch firenet --steps 200 \
+        --chunk-t 8 --batch 4 --out runs/firenet
+"""
+
+import argparse
+import glob
+import os
+
+import numpy as np
+
+
+def build(arch, num_bins):
+    from evreal_tpu.models import build_model
+    from evreal_tpu.models.init import init_e2vid, init_firenet
+
+    if arch == "firenet":
+        model = build_model("FireNet", {"num_bins": num_bins,
+                                        "base_num_channels": 16,
+                                        "kernel_size": 3})
+        params = init_firenet(num_bins=num_bins)
+    elif arch == "e2vid":
+        kwargs = dict(num_bins=num_bins, base_num_channels=32, kernel_size=5,
+                      num_encoders=3, recurrent_block_type="convlstm",
+                      num_residual_blocks=2, skip_type="sum", norm=None,
+                      use_upsample_conv=True, final_activation="sigmoid")
+        model = build_model("E2VIDRecurrent", kwargs)
+        params = init_e2vid(num_bins=num_bins)
+    else:
+        raise SystemExit(f"unknown arch {arch}")
+    return model, params
+
+
+def sample_batch(seqs, voxelize, rng, batch, chunk_t, num_bins, crop):
+    """Random (sequence, start) chunks -> {'voxels','frames'} arrays at the
+    padded model resolution (GT frames zero-padded into the crop region)."""
+    from evreal_tpu.data.packing import pack_windows
+
+    ph, pw = crop.padded_shape
+    pt, pl = crop.padding_top, crop.padding_left
+    h, w = crop.height, crop.width
+    voxels = np.zeros((batch, chunk_t, ph, pw, num_bins), np.float32)
+    frames = np.zeros((batch, chunk_t, ph, pw), np.float32)
+    for b in range(batch):
+        seq = seqs[rng.integers(len(seqs))]
+        start = int(rng.integers(max(len(seq) - chunk_t, 1)))
+        idxs = list(range(start, min(start + chunk_t, len(seq))))
+        buffers, metas = pack_windows(seq, idxs)
+        vox = voxelize(buffers)
+        voxels[b, :len(idxs)] = np.asarray(vox)
+        for t, meta in enumerate(metas):
+            if meta["frame_index"] is not None:
+                frames[b, t, pt:pt + h, pl:pl + w] = seq.frame(
+                    meta["frame_index"])
+    return {"voxels": voxels, "frames": frames}
+
+
+def main(argv=None):
+    import jax
+    import optax
+
+    from evreal_tpu.data import Sequence
+    from evreal_tpu.harness.runner import default_voxelize_impl, make_voxel_stage
+    from evreal_tpu.ops.pad import CropParams
+    from evreal_tpu.ops.voxelize import voxelize_matmul, voxelize_scatter
+    from evreal_tpu.parallel.mesh import batch_sharding, make_mesh, shard_params
+    from evreal_tpu.train import make_train_step
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--data", required=True,
+                    help="dataset root of memmap sequence dirs")
+    ap.add_argument("--arch", default="firenet",
+                    choices=["firenet", "e2vid"])
+    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--chunk-t", type=int, default=8)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--num-bins", type=int, default=5)
+    ap.add_argument("--mesh", action="store_true",
+                    help="shard over all local devices (dp/sp/tp)")
+    ap.add_argument("--out", default="runs/train")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--log-every", type=int, default=10)
+    ap.add_argument("--save-every", type=int, default=0,
+                    help="checkpoint (params+opt_state+step) every N steps "
+                         "via orbax; 0 disables")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from the latest checkpoint under --out")
+    args = ap.parse_args(argv)
+
+    seq_dirs = sorted(d for d in glob.glob(os.path.join(args.data, "*"))
+                      if os.path.isdir(d))
+    seqs = [Sequence(d, num_bins=args.num_bins,
+                     voxel_method={"method": "between_frames"})
+            for d in seq_dirs]
+    assert seqs, f"no sequences under {args.data}"
+    h, w = seqs[0].sensor_resolution
+    crop = CropParams(w, h, 3)
+    ph, pw = crop.padded_shape
+
+    vox_impl = (voxelize_matmul if default_voxelize_impl() == "matmul"
+                else voxelize_scatter)
+    stage = jax.jit(make_voxel_stage(vox_impl, args.num_bins, (h, w), False))
+
+    def voxelize(buffers):
+        v = stage(buffers["xs"], buffers["ys"], buffers["ts"],
+                  buffers["ps"], buffers["count"])
+        return crop.pad(v)
+
+    model, params = build(args.arch, args.num_bins)
+    mesh = None
+    if args.mesh and len(jax.devices()) > 1:
+        mesh = make_mesh(len(jax.devices()), axes=("dp", "sp", "tp"))
+        params = shard_params(mesh, params)
+    step_fn, opt = make_train_step(model, optax.adam(args.lr), mesh=mesh)
+    opt_state = opt.init(params)
+
+    os.makedirs(args.out, exist_ok=True)
+    manager = None
+    start_step = 0
+    if args.save_every > 0 or args.resume:
+        # Job-level checkpoint/resume — the reference has model checkpoints
+        # only, no job resume (SURVEY §5; eval_metrics.py:315-324 truncates
+        # outputs every run).
+        import orbax.checkpoint as ocp
+
+        manager = ocp.CheckpointManager(
+            os.path.abspath(os.path.join(args.out, "ckpt")),
+            options=ocp.CheckpointManagerOptions(max_to_keep=3))
+        latest = manager.latest_step()
+        if args.resume and latest is not None:
+            restored = manager.restore(
+                latest, args=ocp.args.StandardRestore(
+                    {"params": params, "opt_state": opt_state}))
+            params, opt_state = restored["params"], restored["opt_state"]
+            start_step = latest
+            print(f"resumed from step {latest}", flush=True)
+
+    # advance the sampler stream deterministically past consumed steps so a
+    # resumed run sees the batches it would have seen uninterrupted (mirrors
+    # sample_batch's draw pattern without touching the data)
+    rng = np.random.default_rng(args.seed)
+    for _ in range(start_step):
+        for _ in range(args.batch):
+            seq = seqs[rng.integers(len(seqs))]
+            rng.integers(max(len(seq) - args.chunk_t, 1))
+
+    for step in range(start_step + 1, args.steps + 1):
+        batch = sample_batch(seqs, voxelize, rng, args.batch, args.chunk_t,
+                             args.num_bins, crop)
+        if mesh is not None:
+            batch = {
+                "voxels": jax.device_put(batch["voxels"],
+                                         batch_sharding(mesh, 5, 0, 3)),
+                "frames": jax.device_put(batch["frames"],
+                                         batch_sharding(mesh, 4, 0, 3)),
+            }
+        params, opt_state, loss = step_fn(params, opt_state, batch)
+        if step % args.log_every == 0 or step == 1:
+            print(f"step {step}: loss {float(loss):.5f}", flush=True)
+        if manager is not None and args.save_every > 0 and \
+                step % args.save_every == 0:
+            import orbax.checkpoint as ocp
+
+            manager.save(step, args=ocp.args.StandardSave(
+                {"params": params, "opt_state": opt_state}))
+    if manager is not None:
+        manager.wait_until_finished()
+
+    out_path = os.path.join(args.out, "model.npz")
+    flat = {}
+
+    def flatten(prefix, tree):
+        for k, v in tree.items():
+            key = f"{prefix}.{k}" if prefix else k
+            if isinstance(v, dict):
+                flatten(key, v)
+            else:
+                flat[key] = np.asarray(v)
+
+    flatten("", params)
+    np.savez(out_path, **flat)
+    print(f"saved {out_path}")
+
+
+if __name__ == "__main__":
+    main()
