@@ -27,10 +27,17 @@ VOXEL_METHODS = [
     {"method": "between_frames"},
     {"method": "t_seconds", "t": 0.06, "sliding_window_t": 0},
     {"method": "k_events", "k": 1500, "sliding_window_w": 0},
+    # sliding-window overlap variants (dataset.py:104-130)
+    {"method": "t_seconds", "t": 0.06, "sliding_window_t": 0.02},
+    {"method": "k_events", "k": 1500, "sliding_window_w": 300},
 ]
 
 
-@pytest.mark.parametrize("vm", VOXEL_METHODS, ids=lambda m: m["method"])
+@pytest.mark.parametrize(
+    "vm", VOXEL_METHODS,
+    ids=lambda m: m["method"] + (
+        "_overlap" if m.get("sliding_window_t") or m.get("sliding_window_w")
+        else ""))
 def test_windows_match_reference(seq_dir, vm):
     ds_mod = ref_module("dataset")
     ref = ds_mod.MemMapDataset(seq_dir, num_bins=5, voxel_method=dict(vm))
@@ -58,6 +65,26 @@ def test_windows_match_reference(seq_dir, vm):
             sensor_size=ours.sensor_resolution))
         np.testing.assert_allclose(got, item["events"].numpy(), atol=1e-4,
                                    err_msg=f"window {i}")
+
+
+def test_k_overlap_out_of_bounds_error_parity(seq_dir):
+    """With a large k overlap the reference's own window table runs past the
+    event array and __getitem__ raises (dataset.py:196-198); we reproduce
+    the same error on the same window index."""
+    vm = {"method": "k_events", "k": 1500, "sliding_window_w": 500}
+    ds_mod = ref_module("dataset")
+    ref = ds_mod.MemMapDataset(seq_dir, num_bins=5, voxel_method=dict(vm))
+    ours = Sequence(seq_dir, num_bins=5, voxel_method=dict(vm))
+    assert len(ours) == len(ref)
+    bad = next(i for i, (lo, hi) in enumerate(ours.event_indices)
+               if hi > ours.num_events)
+    with pytest.raises(ValueError, match="out of bounds"):
+        ref[bad]
+    with pytest.raises(ValueError, match="out of bounds"):
+        ours.window(bad)
+    # windows before the overrun still match
+    assert ours.window(bad - 1)["event_count"] == \
+        ref[bad - 1]["event_count"]
 
 
 def test_keep_ratio_seeded(seq_dir):
