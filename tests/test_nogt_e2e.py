@@ -73,3 +73,44 @@ def test_nogt_t_seconds_with_noref_metric(nogt_dir, tmp_path, monkeypatch):
         assert len(ts_rows) == len(seq)
     finally:
         registry._REGISTRY.pop("meanval", None)
+
+
+def test_eval_infer_all_reconstructs_everything(tmp_path, monkeypatch,
+                                                tmp_path_factory):
+    """std_all semantics (reference config/eval/std_all.json:12): every
+    window is reconstructed and saved, but quantitative scoring still gates
+    on the eval time window."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir,
+                                    "tools"))
+    from make_synthetic_sequence import make_sequence
+
+    from evreal_tpu.data import Sequence
+
+    d = tmp_path_factory.mktemp("data") / "seq0"
+    make_sequence(str(d), height=32, width=48, duration_s=1.0, fps=20,
+                  events_per_frame=500, seed=2)
+    monkeypatch.chdir(tmp_path)
+    seq = Sequence(str(d), num_bins=5,
+                   voxel_method={"method": "between_frames"})
+    start_s, end_s = 0.3, 0.6
+    eval_config = {"name": "std_all", "save_images": True, "histeq": "none",
+                   "eval_infer_all": True, "ts_tol_ms": 1.0,
+                   "create_video": False,
+                   "dataset_kwargs": {"num_bins": 5}}
+    method_config = {"model_name": "FireNet+",
+                     "event_tensor_normalization": False,
+                     "post_process_norm": "none"}
+    sequence = {"name": "seq0", "dataset": seq,
+                "start_time_s": start_s, "end_time_s": end_s}
+    num_eval, mean_scores = eval_method_on_sequence(
+        "SYN", eval_config, "FireNet+", FakeBundle("FireNet+"),
+        method_config, sequence, ["mse"])
+
+    out = os.path.join("outputs", "std_all", "SYN", "seq0", "FireNet+")
+    pngs = glob.glob(os.path.join(out, "frame_*.png"))
+    assert len(pngs) == len(seq)  # every window reconstructed
+    assert 0 < num_eval < len(seq)  # scoring still gated to [start, end]
+    rows = open(os.path.join(out, "mse.txt")).read().splitlines()
+    assert len(rows) == num_eval
