@@ -44,8 +44,11 @@ def eval_configs():
         "color": _eval_cfg(bf, color=True),
     }
     for ms in range(10, 101, 10):
+        # reference saves images only for t40ms (HDR table) and t60ms
+        # (NCaltech101 reconstructions), config/eval/t*.json
         out[f"t{ms}ms"] = _eval_cfg(
-            {"method": "t_seconds", "t": ms / 1000, "sliding_window_t": 0})
+            {"method": "t_seconds", "t": ms / 1000, "sliding_window_t": 0},
+            save_images=ms in (40, 60))
     for k in range(5, 46, 5):
         out[f"k{k}k"] = _eval_cfg(
             {"method": "k_events", "k": k * 1000, "sliding_window_w": 0},
@@ -64,7 +67,9 @@ def method_configs():
     return {
         m: {
             "model_name": m,
-            "model_path": f"pretrained/{m}/model.npz",
+            # reference path; the loader auto-converts .pth -> .npz on
+            # first use (harness/runner.py load_method_params)
+            "model_path": f"pretrained/{m}/model.pth",
             "event_tensor_normalization": m in norm_on,
             "post_process_norm": post.get(m, "none"),
         }
