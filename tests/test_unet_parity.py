@@ -84,3 +84,35 @@ def test_fb_bases_match_reference():
         want = fb_ref.bases_list(ks, nb).numpy()
         got = bases_list(ks, nb)
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_flownet_image_and_flow():
+    """FlowNet (reference model/model.py:14-43): 3 output channels split
+    into image + 2-channel flow (unet.py:140-141), params under
+    'unetflow'."""
+    import torch
+
+    torch.manual_seed(4)
+    ref_mod = ref_module("model.model")
+    kw = dict(GRU_CONCAT_KW, num_output_channels=3, skip_type="sum")
+    ref_model = ref_mod.FlowNet(dict(kw))
+    ref_model.eval()
+    ref_model.reset_states()
+
+    params = nest(convert_state_dict(ref_model.state_dict()))
+    model = build_model("FlowNet", dict(kw))
+
+    h, w = 32, 40
+    vox = make_voxels(3, 1, kw["num_bins"], h, w, seed=4)
+    state = model.init_state(1, h, w)
+    with torch.no_grad():
+        for t, v in enumerate(vox):
+            out, state = model.apply(params, state, v)
+            ref_out = ref_model(torch.from_numpy(v.transpose(0, 3, 1, 2)))
+            assert set(out) == {"image", "flow"} == set(ref_out)
+            np.testing.assert_allclose(
+                np.asarray(out["image"]).transpose(0, 3, 1, 2),
+                ref_out["image"].numpy(), atol=1e-4, err_msg=f"img {t}")
+            np.testing.assert_allclose(
+                np.asarray(out["flow"]).transpose(0, 3, 1, 2),
+                ref_out["flow"].numpy(), atol=1e-4, err_msg=f"flow {t}")
