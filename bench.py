@@ -2,7 +2,7 @@
 """Headline benchmark: E2VID-architecture reconstruction throughput at ECD
 scale (180x240, 30k events/window) — full pipeline (voxelize -> input-norm ->
 pad -> scan model -> crop -> robust post-norm) on the available accelerator,
-steady state, in the production-serving configuration: 8 independent
+steady state, in the production-serving configuration: 16 independent
 sequences evaluated in lockstep as one scanned batch (the reference can only
 process sequences serially; batching is this framework's TPU scaling axis,
 harness/batched.py). Reported fps is aggregate frames/second of wall-clock.
@@ -23,7 +23,7 @@ import time
 import numpy as np
 
 REF_BASELINE_FPS = 3.17  # reference torch pipeline, this host (BASELINE.md)
-BATCH_N = 8
+BATCH_N = 16
 CHUNK_T = 32
 
 
@@ -83,7 +83,7 @@ def main():
 
     fps = 1.0 / best
     print(json.dumps({
-        "metric": "e2vid_recon_fps_ecd_b8",
+        "metric": "e2vid_recon_fps_ecd_b16",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / REF_BASELINE_FPS, 2),
