@@ -47,7 +47,7 @@ def _native_eligible(seq):
         return False
 
 
-def pack_windows(seq, indices, capacity=None, out=None):
+def pack_windows(seq, indices, capacity=None, out=None, metas=None):
     """Pack the given window indices of a Sequence.
 
     Returns (buffers, metas) where buffers is a dict of numpy arrays
@@ -56,9 +56,12 @@ def pack_windows(seq, indices, capacity=None, out=None):
     ``seq.window``. Pass ``out`` (a dict of C-contiguous (T, capacity)
     arrays of compatible dtypes, plus ``count`` (T,)) to pack in place —
     the batched runner hands in views of its (N, T, E) buffers to avoid a
-    second copy.
+    second copy. Pass ``metas`` (the ``seq.window`` dicts for ``indices``,
+    in order) to skip recomputing the window metadata the eval loops
+    already hold.
     """
-    metas = [seq.window(i) for i in indices]
+    if metas is None:
+        metas = [seq.window(i) for i in indices]
     max_count = max((m["event_count"] for m in metas), default=0)
     if capacity is None:
         capacity = bucket_capacity(max_count)

@@ -242,7 +242,8 @@ def eval_method_on_sequence_group(dataset_name, eval_config, method_name,
             t = len(idxs)
             views = {key: bufs[key][j, :t] for key in
                      ("xs", "ys", "ts", "ps", "count")}
-            pack_windows(seq, idxs, capacity=capacity, out=views)
+            pack_windows(seq, idxs, capacity=capacity, out=views,
+                         metas=[metas_all[j][i] for i in idxs])
             if refs is not None and seq.has_images:
                 for r, i in enumerate(idxs):
                     refs[j, r] = seq.frame(metas_all[j][i]["frame_index"])
@@ -251,11 +252,30 @@ def eval_method_on_sequence_group(dataset_name, eval_config, method_name,
     def drain(entry):
         chunk_info, refs, images_dev, clipped_dev, scores_dev = entry
         images = np.asarray(images_dev)
-        # clipped is only needed on host for hist-eq (tracker re-clips
-        # `images`); skipping the fetch halves device->host bytes
-        clipped = (np.asarray(clipped_dev) if hist_eq != "none" else None)
         scores = ({k: np.asarray(v) for k, v in scores_dev.items()}
                   if scores_dev else {})
+        proc_imgs = None
+        if hist_eq != "none":
+            # clipped only comes to host for hist-eq (tracker re-clips
+            # `images` itself). Process the whole chunk and score it in ONE
+            # batched device call — per-frame calls would serialize on the
+            # tunnel round-trip (~100s of ms each).
+            clipped = np.asarray(clipped_dev)
+            proc_imgs = np.zeros_like(clipped)
+            proc_refs = np.zeros_like(clipped)
+            for j, idxs in enumerate(chunk_info):
+                for r in range(len(idxs)):
+                    proc_imgs[j, r] = histeq_mod.histogram_equalization(
+                        clipped[j, r], hist_eq)
+                    if refs is not None and seqs[j].has_images:
+                        proc_refs[j, r] = histeq_mod.histogram_equalization(
+                            np.clip(refs[j, r], 0, 1), hist_eq)
+            use = (specs if any_images
+                   else [s for s in specs if s.no_ref])
+            if use:
+                scores = {k: np.asarray(v) for k, v in runner.metric_scores(
+                    use, jnp.asarray(proc_imgs),
+                    jnp.asarray(proc_refs)).items()}
         for j, idxs in enumerate(chunk_info):
             seq, tracker = seqs[j], trackers[j]
             for r, i in enumerate(idxs):
@@ -263,28 +283,16 @@ def eval_method_on_sequence_group(dataset_name, eval_config, method_name,
                 img = images[j, r]
                 ref = refs[j, r] if (refs is not None and seq.has_images) \
                     else None
-                if hist_eq != "none":
-                    proc_img = histeq_mod.histogram_equalization(
-                        clipped[j, r], hist_eq)
-                    frame_scores = {}
-                    use = specs if ref is not None else [s for s in specs
-                                                         if s.no_ref]
-                    if use:
-                        proc_ref = (histeq_mod.histogram_equalization(
-                            np.clip(ref, 0, 1), hist_eq)
-                            if ref is not None else np.zeros_like(proc_img))
-                        fs = runner.metric_scores(
-                            use, jnp.asarray(proc_img[None, None]),
-                            jnp.asarray(proc_ref[None, None]))
-                        frame_scores = {k: float(v[0, 0])
-                                        for k, v in fs.items()}
-                else:
-                    proc_img = None
-                    frame_scores = {k: v[j, r] for k, v in scores.items()}
+                # trackers of ref-less sequences only record no-ref metric
+                # names, so FR scores computed against the zero refs above
+                # are dropped there
+                frame_scores = {k: v[j, r] for k, v in scores.items()}
                 tracker.update(
                     i, img, ref, meta["voxel_timestamp"],
                     meta["frame_timestamp"] if seq.has_images else None,
-                    scores=frame_scores, processed_img=proc_img)
+                    scores=frame_scores,
+                    processed_img=(proc_imgs[j, r] if proc_imgs is not None
+                                   else None))
                 rate = (0 if meta["event_count"] <= 1 or meta["dt"] == 0
                         else meta["event_count"] / meta["dt"])
                 tracker.save_custom_metric(i, "event_rate", rate)

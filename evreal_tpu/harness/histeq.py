@@ -56,9 +56,15 @@ def equalize_local(img, radius=55):
         cum = cum + cnt
         sel = u == level
         out[sel] = cum[sel]
-    out = out / pop
-    # rank.equalize returns uint8 (rounded), then img_as_float32 -> /255
-    return (np.round(out * 255).astype(np.uint8) / 255.0).astype(np.float32)
+    # counts are exact integers; rint undoes float accumulation drift from
+    # the box filter so the truncation below lands on the same side as
+    # skimage's exact integer arithmetic
+    out = np.rint(out)
+    pop = np.rint(pop)
+    # skimage's rank kernel computes <uint8>((max_bin-1)*rank/pop) — a C
+    # cast, i.e. truncation, not rounding; then img_as_float32 -> /255
+    val = np.floor(out.astype(np.float64) * 255.0 / pop).astype(np.uint8)
+    return (val / 255.0).astype(np.float32)
 
 
 def histogram_equalization(img, mode):

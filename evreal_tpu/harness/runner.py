@@ -114,6 +114,8 @@ def post_process_normalization_np(img, norm):
     if norm == "exprobust":
         img = np.exp(img)
         norm = "robust"
+    if norm not in ("robust", "standard"):
+        raise ValueError(f"Unrecognized image normalization: {norm}")
     qlo, qhi = (1, 99) if norm == "robust" else (0, 100)
     lo = np.percentile(img.ravel(), qlo)
     hi = np.percentile(img.ravel(), qhi)
@@ -402,7 +404,8 @@ def eval_method_on_sequence(dataset_name, eval_config, method_name, bundle,
     timer.__enter__()
     for c0 in range(0, len(proc), chunk_t):
         chunk = proc[c0:c0 + chunk_t]
-        buffers, metas = pack_windows(seq, chunk, capacity=capacity)
+        buffers, metas = pack_windows(seq, chunk, capacity=capacity,
+                                      metas=[metas_all[i] for i in chunk])
         valid_t = len(chunk)
         if valid_t < chunk_t:  # pad last chunk to the compiled T
             for key in ("xs", "ys", "ts", "ps"):

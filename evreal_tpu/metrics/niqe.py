@@ -181,8 +181,12 @@ def register_if_available():
         def host(im):
             return np.float32(niqe(np.asarray(im), mu, cov))
 
+        # vmap_method: the harness always vmaps metric fns over the chunk
+        # (runner.metric_scores); the host feature extraction is serial
+        # anyway.
         return jax.pure_callback(
-            host, np.zeros((), np.float32), img)
+            host, np.zeros((), np.float32), img,
+            vmap_method="sequential")
 
     register("niqe", fn, no_ref=True)
     return True

@@ -59,9 +59,11 @@ def make_train_step(model, optimizer=None, mesh=None, remat=True):
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
+    # NOTE: no donate_argnums — buffer donation makes device->host transfers
+    # of the program's outputs fail with INVALID_ARGUMENT on the axon TPU
+    # backend (see CLAUDE.md), and train_cli fetches the loss every step.
     if mesh is None:
-        return jax.jit(train_step, donate_argnums=(0, 1)), optimizer
+        return jax.jit(train_step), optimizer
 
     out_shardings = (None, None, NamedSharding(mesh, P()))
-    return (jax.jit(train_step, donate_argnums=(0, 1),
-                    out_shardings=out_shardings), optimizer)
+    return jax.jit(train_step, out_shardings=out_shardings), optimizer

@@ -72,3 +72,38 @@ def test_batched_matches_single(seq_dirs, tmp_path, monkeypatch):
         rows_b = (batched_dir / "outputs/std/SYNS" / f"seq{i}" / "FireNet+" /
                   "mse.txt").read_text()
         assert rows_b == single_rows[i], i
+
+
+def test_batched_histeq_matches_single(seq_dirs, tmp_path, monkeypatch):
+    """hist-eq path: whole-chunk batched metric scoring must equal the
+    single-sequence per-chunk path."""
+    cfg = dict(EVAL_CONFIG, name="std", histeq="global", save_images=True)
+
+    single_dir = tmp_path / "single"
+    single_dir.mkdir()
+    monkeypatch.chdir(single_dir)
+    bundle = FakeBundle("FireNet+")
+    single = [eval_method_on_sequence(
+        "SYNS", cfg, "FireNet+", bundle, METHOD_CONFIG, s,
+        ["mse", "ssim"]) for s in _sequences(seq_dirs)]
+    single_rows = [
+        (single_dir / "outputs/std/SYNS" / f"seq{i}" / "FireNet+" /
+         "mse.txt").read_text() for i in range(2)]
+
+    batched_dir = tmp_path / "batched"
+    batched_dir.mkdir()
+    monkeypatch.chdir(batched_dir)
+    batched = eval_method_on_sequence_group(
+        "SYNS", cfg, "FireNet+", bundle, METHOD_CONFIG,
+        _sequences(seq_dirs), ["mse", "ssim"])
+
+    for i, ((n0, s0), (n1, s1)) in enumerate(zip(single, batched)):
+        assert n0 == n1, i
+        for k in s0:
+            assert abs(s0[k] - s1[k]) < 1e-5, (i, k, s0[k], s1[k])
+        rows_b = (batched_dir / "outputs/std/SYNS" / f"seq{i}" / "FireNet+" /
+                  "mse.txt").read_text()
+        assert rows_b == single_rows[i], i
+        proc = list((batched_dir / "outputs/std/SYNS" / f"seq{i}").glob(
+            "FireNet+_processed/frame_*.png"))
+        assert proc, "processed PNGs missing"

@@ -71,8 +71,9 @@ def test_equalize_local_matches_bruteforce():
                         vals.append(u[py, px])
             vals = np.array(vals)
             rank = (vals <= u[y, x]).sum()
-            want[y, x] = np.round(rank / len(vals) * 255) / 255.0
-    np.testing.assert_allclose(got, want, atol=1 / 255 + 1e-6)
+            # skimage rank.equalize: <uint8>(255 * rank / pop) — truncation
+            want[y, x] = np.floor(rank * 255.0 / len(vals)) / 255.0
+    np.testing.assert_allclose(got, want, atol=1e-7)
 
 
 def test_histeq_none_passthrough():

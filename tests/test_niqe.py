@@ -77,3 +77,28 @@ def test_niqe_scores_distortion_higher():
     noisy = niqe(np.clip(clean(100) + rng.normal(0, 0.2, (96, 192)), 0, 1),
                  mu, cov)
     assert noisy > good
+
+
+def test_niqe_registered_fn_survives_vmap(tmp_path, monkeypatch):
+    """The harness vmaps every metric fn over the chunk (runner.py
+    metric_scores); the pure_callback must declare a vmap_method."""
+    import jax
+    import numpy as np
+
+    from evreal_tpu.metrics import niqe as niqe_mod
+    from evreal_tpu.metrics import registry
+
+    rng = np.random.default_rng(0)
+    feats = rng.normal(0, 1, (80, 36)).astype(np.float64)
+    np.savez(tmp_path / "niqe_params.npz", mu=feats.mean(0),
+             cov=np.cov(feats.T))
+    monkeypatch.setenv("EVREAL_NIQE_PARAMS", str(tmp_path /
+                                                 "niqe_params.npz"))
+    assert niqe_mod.register_if_available()
+    try:
+        spec = registry._REGISTRY["niqe"]
+        imgs = rng.random((3, 96, 96)).astype(np.float32)
+        out = np.asarray(jax.vmap(spec.fn)(imgs))
+        assert out.shape == (3,) and np.isfinite(out).all()
+    finally:
+        registry._REGISTRY.pop("niqe", None)
