@@ -207,6 +207,13 @@ class Sequence:
                 "dt": dt, "frame_index": frame_index,
                 "frame_timestamp": frame_ts, "voxel_timestamp": voxel_ts}
 
+    def windows(self):
+        """All window metadata dicts, memoized — the eval loops walk the
+        full table once per (method, eval-config) otherwise."""
+        if getattr(self, "_windows", None) is None:
+            self._windows = [self.window(i) for i in range(len(self))]
+        return self._windows
+
     def events(self, idx0, idx1):
         """Raw event slice: xs, ys f32; ts f64 zero-based-later; ps in ±1."""
         xy = self.xy[idx0:idx1]

@@ -186,7 +186,7 @@ def eval_method_on_sequence_group(dataset_name, eval_config, method_name,
             quan_eval_ts_tol_ms=eval_config["ts_tol_ms"],
             has_reference_frames=seq.has_images,
             no_ref_metric_names=no_ref_names))
-        metas = [seq.window(i) for i in range(len(seq))]
+        metas = seq.windows()
         proc = []
         for i, m in enumerate(metas):
             ts = m["voxel_timestamp"]

@@ -318,7 +318,7 @@ def eval_method_on_sequence(dataset_name, eval_config, method_name, bundle,
     eval_infer_all = eval_config.get("eval_infer_all", False)
     start, end = sequence["start_time_s"], sequence["end_time_s"]
 
-    metas_all = [seq.window(i) for i in range(len(seq))]
+    metas_all = seq.windows()
     proc = []
     for i, m in enumerate(metas_all):
         ts = m["voxel_timestamp"]
