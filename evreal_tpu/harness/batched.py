@@ -133,6 +133,7 @@ class BatchedRunner:
 
     def metric_scores(self, specs, clipped, refs):
         """(N, T, H, W) images [vs refs] -> {name: (N, T)} device arrays."""
+        specs = self._validate_specs(specs, tuple(clipped.shape[2:]))
         key = tuple(s.name for s in specs)
         if key not in self._metric_fns:
             fr = [s for s in specs if not s.no_ref]
@@ -153,6 +154,11 @@ class BatchedRunner:
 
             self._metric_fns[key] = mfn
         return self._metric_fns[key](clipped, refs)
+
+    def _validate_specs(self, specs, hw):
+        from evreal_tpu.harness.runner import MethodRunner
+
+        return MethodRunner._validate_specs(self, specs, hw)
 
 
 def eval_method_on_sequence_group(dataset_name, eval_config, method_name,

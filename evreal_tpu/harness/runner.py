@@ -221,7 +221,11 @@ class MethodRunner:
 
     def metric_scores(self, specs, clipped, refs):
         """Batched metric evaluation: (T,H,W) images [vs refs] ->
-        {name: (T,)} device arrays (async)."""
+        {name: (T,)} device arrays (async). A metric whose fn fails to
+        trace at these shapes is dropped with a warning and the others
+        continue (the reference's per-metric containment,
+        eval_metrics.py:233-242)."""
+        specs = self._validate_specs(specs, clipped.shape[1:])
         key = tuple(s.name for s in specs)
         if key not in self._metric_fns:
             fr = [s for s in specs if not s.no_ref]
@@ -239,6 +243,29 @@ class MethodRunner:
 
             self._metric_fns[key] = mfn
         return self._metric_fns[key](clipped, refs)
+
+    def _validate_specs(self, specs, hw):
+        """Keep only metrics whose fn traces at this image shape."""
+        cache = getattr(self, "_spec_ok", None)
+        if cache is None:
+            cache = self._spec_ok = {}
+        out = []
+        for s in specs:
+            ok = cache.get((s.name, hw))
+            if ok is None:
+                img = jax.ShapeDtypeStruct(hw, jnp.float32)
+                try:
+                    jax.eval_shape(s.fn, img) if s.no_ref else \
+                        jax.eval_shape(s.fn, img, img)
+                    ok = True
+                except Exception as e:  # noqa: BLE001 — containment
+                    print(color_error(
+                        f"metric {s.name} failed at {hw}: {e}; skipping"))
+                    ok = False
+                cache[(s.name, hw)] = ok
+            if ok:
+                out.append(s)
+        return out
 
 
 # ---------------------------------------------------------------------------

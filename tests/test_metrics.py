@@ -48,3 +48,30 @@ def test_mse():
     a = rng.uniform(0, 1, (50, 60)).astype(np.float32)
     b = rng.uniform(0, 1, (50, 60)).astype(np.float32)
     assert abs(float(mse(a, b)) - np.mean((a - b) ** 2)) < 1e-6
+
+
+def test_broken_metric_is_dropped_not_fatal(capsys):
+    """Per-metric containment (reference eval_metrics.py:233-242): a metric
+    that fails to trace is skipped with a message; others still score."""
+    import jax.numpy as jnp
+
+    from evreal_tpu.harness.runner import MethodRunner
+    from evreal_tpu.metrics.registry import MetricSpec
+    from evreal_tpu.models import build_model
+    from evreal_tpu.models.init import init_firenet
+
+    model = build_model("FireNet", {"num_bins": 5, "base_num_channels": 8,
+                                    "kernel_size": 3})
+    runner = MethodRunner(model, init_firenet(base_num_channels=8),
+                          event_norm=False, post_norm="none",
+                          height=16, width=16, num_bins=5)
+
+    def broken(img, ref):
+        raise RuntimeError("boom")
+
+    specs = [MetricSpec("mse", lambda a, b: jnp.mean((a - b) ** 2), False),
+             MetricSpec("broken", broken, False)]
+    imgs = jnp.zeros((3, 16, 16))
+    out = runner.metric_scores(specs, imgs, imgs)
+    assert set(out) == {"mse"}
+    assert "broken" in capsys.readouterr().out
