@@ -155,3 +155,21 @@ def test_robustness_read_scores(tmp_path):
     df = read_event_rate_joined(os.path.join(base, "std"), datasets=["ECD"])
     got = sorted(zip(df["event_rate"], df["score"]))
     assert got == [(5.0, 0.1), (7.0, 0.3), (11.0, 0.5)]
+
+
+def test_print_scores_table(capsys):
+    from evreal_tpu.harness.tables import print_scores
+    from evreal_tpu.metrics.tracker import MetricTracker
+
+    mt = MetricTracker()
+    mt.update("mse", 0.125, 10)
+    mt.update("ssim", 0.5, 10)
+    mt.update("mse", 0.375, 30)
+    mt.update("ssim", 0.7, 30)
+    print_scores([[mt]], ["FireNet"], ["ECD"], "std")
+    out = capsys.readouterr().out
+    assert "Image Quality Scores (for std config)" in out
+    assert "ECD (40)" in out          # count-weighted header
+    assert "MSE" in out and "SSIM" in out
+    assert "0.312" in out             # (0.125*10 + 0.375*30) / 40
+    assert "0.650" in out
