@@ -64,7 +64,10 @@ class BatchedRunner:
         self.chunk_t = chunk_t
         self.mesh = mesh
         self.crop = CropParams(width, height, model.num_encoders)
-        vox = (voxelize_matmul if default_voxelize_impl() == "matmul"
+        # the batched runner vmaps the stage over N sequences, which the
+        # whole-chunk Pallas kernel can't lower under; fall back to matmul
+        impl = default_voxelize_impl()
+        vox = (voxelize_matmul if impl in ("matmul", "pallas")
                else voxelize_scatter)
         self.voxel_stage = make_voxel_stage(vox, num_bins, (height, width),
                                             event_norm)

@@ -49,17 +49,24 @@ def make_voxel_stage(vox_fn, num_bins, hw, event_norm):
     Accepts the compact packed dtypes (int16 coords, int8 ±1 polarity,
     float32 timestamps — see data/packing.py) and upcasts on device, where
     the conversion fuses into the binning program; plain float32 buffers
-    also work (tests / synthetic paths)."""
+    also work (tests / synthetic paths). ``vox_fn`` may be a per-window
+    function (vmapped here) or a whole-chunk kernel marked with
+    ``windows_batched`` (the batched Pallas kernel)."""
+    windows_batched = getattr(vox_fn, "windows_batched", False)
 
     def stage(xs, ys, ts, ps, count):
         ts = ts.astype(jnp.float32)
         ps = ps.astype(jnp.float32)
 
-        def one(x, y, t, p, c):
-            return jnp.transpose(vox_fn(x, y, t, p, c, num_bins, hw),
-                                 (1, 2, 0))
+        if windows_batched:
+            vox = jnp.transpose(vox_fn(xs, ys, ts, ps, count, num_bins, hw),
+                                (0, 2, 3, 1))
+        else:
+            def one(x, y, t, p, c):
+                return jnp.transpose(vox_fn(x, y, t, p, c, num_bins, hw),
+                                     (1, 2, 0))
 
-        vox = jax.vmap(one)(xs, ys, ts, ps, count)
+            vox = jax.vmap(one)(xs, ys, ts, ps, count)
         if event_norm:
             vox = jax.vmap(normalize_event_tensor)(vox)
         return vox
@@ -69,14 +76,24 @@ def make_voxel_stage(vox_fn, num_bins, hw, event_norm):
 
 def default_voxelize_impl():
     """'matmul' (MXU one-hot contraction) on TPU, 'scatter' elsewhere.
-    Override with EVREAL_VOXELIZE=matmul|scatter. Measured on v5e at ECD
-    scale (32x30k events): matmul 129 Mev/s, scatter 45 Mev/s; the Pallas
-    kernel (kernels/voxelize_pallas.py) matches matmul single-window but
-    does not vmap-lower, so the batched pipeline uses the XLA matmul."""
+    Override with EVREAL_VOXELIZE=matmul|scatter|pallas. Measured on v5e at
+    ECD scale (32x30k events, same chip state): matmul@HIGH 107-129 Mev/s,
+    batched Pallas kernel 46-49 Mev/s (Mosaic only lowers HIGHEST = 2x the
+    MXU passes of HIGH, and VMEM caps the event-chunk tile), XLA scatter
+    45 Mev/s — so the XLA matmul is the default."""
     env = os.environ.get("EVREAL_VOXELIZE")
-    if env in ("matmul", "scatter"):
+    if env in ("matmul", "scatter", "pallas"):
         return env
     return "matmul" if jax.default_backend() == "tpu" else "scatter"
+
+
+def resolve_voxelize_fn(impl):
+    if impl == "pallas":
+        from evreal_tpu.kernels.voxelize_pallas import (
+            voxelize_pallas_windows)
+
+        return voxelize_pallas_windows
+    return voxelize_matmul if impl == "matmul" else voxelize_scatter
 
 
 def compute_dtype():
@@ -169,8 +186,7 @@ class MethodRunner:
         self.crop = CropParams(width, height, model.num_encoders)
         if voxelize_impl is None:
             voxelize_impl = default_voxelize_impl()
-        self._vox = (voxelize_matmul if voxelize_impl == "matmul"
-                     else voxelize_scatter)
+        self._vox = resolve_voxelize_fn(voxelize_impl)
         self.voxel_stage = make_voxel_stage(self._vox, num_bins,
                                             (height, width), event_norm)
         self.dtype = compute_dtype()
@@ -520,13 +536,10 @@ class MethodBundle:
 
     def color_runner_for(self, sensor_resolution, method_config, num_bins):
         from evreal_tpu.models.colornet import ColorRunner
-        from evreal_tpu.ops.voxelize import voxelize_matmul, voxelize_scatter
-
         key = ("color",) + tuple(sensor_resolution)
         if key not in self._runners:
             h, w = sensor_resolution
-            vox = (voxelize_matmul if default_voxelize_impl() == "matmul"
-                   else voxelize_scatter)
+            vox = resolve_voxelize_fn(default_voxelize_impl())
             stage = make_voxel_stage(
                 vox, num_bins, (h, w),
                 method_config.get("event_tensor_normalization", False))

@@ -116,3 +116,106 @@ def voxelize(xs, ys, ts, ps, count, num_bins=5, sensor_size=(180, 240),
              interpret=False):
     return voxelize_pallas(xs, ys, ts, ps, count, num_bins, sensor_size,
                            interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# batched (whole-chunk) kernel
+# ---------------------------------------------------------------------------
+
+_TW = 8  # windows per grid step (sublane-aligned for the (8,128) f32 tile)
+
+
+def _batched_kernel(rows_lo_ref, rows_hi_ref, wlo_ref, whi_ref, cols_ref,
+                    out_ref):
+    """Grid (T//_TW, n_chunks); event chunks are the innermost dimension, so
+    the (TW, B*H, W) output block stays resident in VMEM and serves as the
+    accumulator across chunks (no separate scratch -> fits comfortably in
+    VMEM: ~7 MB out block + ~2 MB one-hot temporaries at chunk=512)."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    chunk = rows_lo_ref.shape[1]
+    bh = out_ref.shape[1]
+    w = out_ref.shape[2]
+    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, bh), 1)
+    cols_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, w), 1)
+    for t in range(_TW):  # static unroll: _TW dots per grid step
+        rl = rows_lo_ref[t, :]
+        rh = rows_hi_ref[t, :]
+        oh_rows = ((rows_iota == rl[:, None]).astype(jnp.float32)
+                   * wlo_ref[t, :][:, None]
+                   + (rows_iota == rh[:, None]).astype(jnp.float32)
+                   * whi_ref[t, :][:, None])
+        oh_cols = (cols_iota == cols_ref[t, :][:, None]).astype(jnp.float32)
+        # Mosaic only lowers DEFAULT/HIGHEST dot precisions (HIGH raises
+        # NotImplementedError); HIGHEST matches the original kernel.
+        out_ref[t] += jax.lax.dot_general(
+            oh_rows, oh_cols,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+
+def voxelize_pallas_windows(xs, ys, ts, ps, count, num_bins, sensor_size,
+                            chunk=512, interpret=False):
+    """Voxelize a whole chunk of T windows in one kernel launch.
+
+    Inputs are the packed (T, E) buffers (any of int16/int8/f32 as emitted
+    by data/packing.py); returns (T, num_bins, H, W) f32. This is the
+    batch-capable variant of ``voxelize_pallas`` — jax.vmap of a 1-D Pallas
+    kernel does not lower on TPU (auto-batched block shapes violate the
+    (8, 128) tiling rule), so the window axis is part of the grid instead.
+    """
+    h, w = sensor_size
+    t_n, e = xs.shape
+    ps = ps.astype(jnp.float32)
+    ts = ts.astype(jnp.float32)
+
+    def prep_one(x, y, t, p, c):
+        xi, yi, tn, valid = _prep(x, y, t, p, c, num_bins)
+        inb = valid & (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        lo = jnp.floor(tn).astype(jnp.int32)
+        frac = tn - lo.astype(jnp.float32)
+        w_lo = jnp.where(inb & (lo >= 0) & (lo < num_bins),
+                         p * (1.0 - frac), 0.0)
+        w_hi = jnp.where(inb & (lo + 1 < num_bins), p * frac, 0.0)
+        row_lo = jnp.clip(lo, 0, num_bins - 1) * h + yi
+        row_hi = jnp.clip(lo + 1, 0, num_bins - 1) * h + yi
+        cols = jnp.where(inb, xi, w)  # park invalid events off the grid
+        return row_lo, row_hi, w_lo, w_hi, cols
+
+    row_lo, row_hi, w_lo, w_hi, cols = jax.vmap(prep_one)(xs, ys, ts, ps,
+                                                          count)
+
+    chunk = min(chunk, e)
+    n_chunks = -(-e // chunk)
+    pad_e = n_chunks * chunk - e
+    pad_t = (-t_n) % _TW
+
+    def pad2(a):
+        if pad_t or pad_e:
+            a = jnp.pad(a, ((0, pad_t), (0, pad_e)))
+        return a
+
+    args = tuple(map(pad2, (row_lo, row_hi, w_lo, w_hi, cols)))
+    tp = t_n + pad_t
+    bh = num_bins * h
+
+    out = pl.pallas_call(
+        _batched_kernel,
+        grid=(tp // _TW, n_chunks),
+        in_specs=[pl.BlockSpec((_TW, chunk), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM)] * 5,
+        out_specs=pl.BlockSpec((_TW, bh, w), lambda i, j: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((tp, bh, w), jnp.float32),
+        interpret=interpret,
+    )(*args)
+    return out[:t_n].reshape(t_n, num_bins, h, w)
+
+
+voxelize_pallas_windows.windows_batched = True

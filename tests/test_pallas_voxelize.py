@@ -23,3 +23,64 @@ def test_pallas_matches_scatter(n, cap):
     got = np.asarray(vox_pallas(*args, num_bins=b, sensor_size=(h, w),
                                 interpret=True))
     np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_pallas_windows_batch_matches_matmul():
+    """Whole-chunk batched kernel (grid over window blocks) vs the vmapped
+    XLA matmul, incl. T not divisible by the window tile and zero/full
+    counts."""
+    import jax
+    import jax.numpy as jnp
+
+    from evreal_tpu.kernels.voxelize_pallas import voxelize_pallas_windows
+    from evreal_tpu.ops.voxelize import voxelize_matmul
+
+    h, w, b, cap, t = 24, 32, 5, 1024, 11
+    rng = np.random.default_rng(8)
+    xs = rng.integers(0, w, (t, cap)).astype(np.int16)
+    ys = rng.integers(0, h, (t, cap)).astype(np.int16)
+    ts = np.sort(rng.uniform(0, 0.03, (t, cap)).astype(np.float32), axis=1)
+    ts -= ts[:, :1]
+    ps = (rng.integers(0, 2, (t, cap)) * 2 - 1).astype(np.int8)
+    count = rng.integers(0, cap + 1, t).astype(np.int32)
+    count[0], count[1] = 0, cap
+
+    got = np.asarray(voxelize_pallas_windows(
+        xs, ys, ts, ps, count, b, (h, w), interpret=True))
+
+    def one(x, y, tt, p, c):
+        return voxelize_matmul(x, y, tt, p.astype(jnp.float32), c, b, (h, w))
+
+    want = np.asarray(jax.vmap(one)(xs, ys, ts, ps, count))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_pallas_windows_through_voxel_stage():
+    """EVREAL_VOXELIZE=pallas routes the whole-chunk kernel through
+    make_voxel_stage (no vmap)."""
+    import jax.numpy as jnp
+
+    from evreal_tpu.harness.runner import make_voxel_stage
+    from evreal_tpu.kernels.voxelize_pallas import voxelize_pallas_windows
+    from evreal_tpu.ops.voxelize import voxelize_scatter
+
+    def interp(xs, ys, ts, ps, count, num_bins, hw):
+        return voxelize_pallas_windows(xs, ys, ts, ps, count, num_bins, hw,
+                                       interpret=True)
+
+    interp.windows_batched = True
+
+    h, w, b, cap, t = 16, 32, 5, 1024, 4
+    rng = np.random.default_rng(1)
+    xs = rng.integers(0, w, (t, cap)).astype(np.int16)
+    ys = rng.integers(0, h, (t, cap)).astype(np.int16)
+    ts = np.sort(rng.uniform(0, 0.03, (t, cap)).astype(np.float32), axis=1)
+    ts -= ts[:, :1]
+    ps = (rng.integers(0, 2, (t, cap)) * 2 - 1).astype(np.int8)
+    count = np.full((t,), 700, np.int32)
+
+    stage_p = make_voxel_stage(interp, b, (h, w), True)
+    stage_s = make_voxel_stage(voxelize_scatter, b, (h, w), True)
+    np.testing.assert_allclose(
+        np.asarray(stage_p(xs, ys, ts, ps, count)),
+        np.asarray(stage_s(xs, ys, ts, ps, count)), atol=2e-5)
