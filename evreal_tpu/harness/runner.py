@@ -38,7 +38,7 @@ from evreal_tpu.ops.normalize import normalize_event_tensor, post_process_normal
 from evreal_tpu.ops.pad import CropParams
 from evreal_tpu.ops.voxelize import voxelize_matmul, voxelize_scatter
 
-DEFAULT_CHUNK_T = 32
+DEFAULT_CHUNK_T = int(os.environ.get("EVREAL_CHUNK_T", "32"))
 PIPELINE_DEPTH = 8  # chunks in flight on device before the host drains one
 
 
