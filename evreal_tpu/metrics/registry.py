@@ -73,7 +73,9 @@ def _ensure_builtins():
         w = lpips_mod.load_weights()
         register("lpips", lambda img, ref: lpips_mod.lpips(w, img, ref)[0])
     try:
+        from evreal_tpu.metrics import brisque as brisque_mod
         from evreal_tpu.metrics import niqe as niqe_mod
-    except ImportError:  # scipy missing: NIQE unavailable, eval continues
+    except ImportError:  # scipy missing: NR metrics unavailable
         return
     niqe_mod.register_if_available()
+    brisque_mod.register_if_available()
