@@ -97,6 +97,25 @@ def preprocess(img_path):
     return x.transpose(2, 0, 1)[None].astype(np.float32)
 
 
+def evaluate_outputs(predict, outputs_dir, classes):
+    """Top-1 accuracy per reconstruction model over
+    ``<outputs_dir>/<model>/<class>/*`` (reference classifier.py:61-84).
+    ``predict(img_path) -> class index``."""
+    results = {}
+    for model_dir in sorted(glob.glob(os.path.join(outputs_dir, "*"))):
+        model_name = os.path.basename(model_dir)
+        correct = total = 0
+        for class_dir in sorted(glob.glob(os.path.join(model_dir, "*"))):
+            class_name = os.path.basename(class_dir)
+            for img_path in glob.glob(os.path.join(class_dir, "*")):
+                total += 1
+                correct += int(predict(img_path)
+                               == classes.index(class_name))
+        if total:
+            results[model_name] = 100 * correct / total
+    return results
+
+
 def main():
     import torch
     from torch import nn
@@ -120,20 +139,12 @@ def main():
                           strict=False)
     model.eval()
 
-    results = {}
-    for model_dir in sorted(glob.glob(os.path.join(args.outputs, "*"))):
-        model_name = os.path.basename(model_dir)
-        correct = total = 0
+    def predict(img_path):
         with torch.no_grad():
-            for class_dir in sorted(glob.glob(os.path.join(model_dir, "*"))):
-                class_name = os.path.basename(class_dir)
-                for img_path in glob.glob(os.path.join(class_dir, "*")):
-                    logits = model(torch.from_numpy(preprocess(img_path)))
-                    pred = int(logits.argmax(1))
-                    total += 1
-                    correct += int(pred == classes.index(class_name))
-        if total:
-            results[model_name] = 100 * correct / total
+            logits = model(torch.from_numpy(preprocess(img_path)))
+        return int(logits.argmax(1))
+
+    results = evaluate_outputs(predict, args.outputs, classes)
     for name, acc in results.items():
         print(f"{name} accuracy: {acc:.2f}%")
 

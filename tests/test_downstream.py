@@ -2,6 +2,8 @@
 
 import importlib.util
 import os
+
+import pytest
 import sys
 
 
@@ -65,3 +67,27 @@ def test_get_mape(tmp_path, monkeypatch, capsys):
     assert "E2VID MAPE:" in out
     val = float(out.split("MAPE:")[-1].strip().rstrip("%"))
     assert abs(val - 100 * (1 / 200) / 6) < 0.01
+
+
+def test_classifier_accuracy_accounting(tmp_path):
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "downstream", "classification"))
+    from classifier import evaluate_outputs
+
+    classes = ["cat", "dog", "fish"]
+    # model A: 2/3 correct on cat+dog; model B: 1/2 correct
+    layout = {"A": {"cat": ["i1.png", "i2.png"], "dog": ["i3.png"]},
+              "B": {"fish": ["i4.png"], "cat": ["i5.png"]}}
+    truth = {"i1.png": 0, "i2.png": 1, "i3.png": 1,
+             "i4.png": 2, "i5.png": 1}
+    for model, by_class in layout.items():
+        for cls, files in by_class.items():
+            d = tmp_path / model / cls
+            d.mkdir(parents=True)
+            for f in files:
+                (d / f).write_bytes(b"")
+    predict = lambda p: truth[os.path.basename(p)]
+    res = evaluate_outputs(predict, str(tmp_path), classes)
+    assert res["A"] == pytest.approx(100 * 2 / 3)
+    assert res["B"] == pytest.approx(50.0)
