@@ -77,14 +77,14 @@ class BatchedRunner:
         self._params_cast = (params if self.dtype == jnp.float32 else
                              jax.tree.map(lambda a: jnp.asarray(a, self.dtype),
                                           params))
-        self._fns = {}
+        self._fn = None
         self._metric_fns = {}
 
     def init_state(self):
         ph, pw = self.crop.padded_shape
         return self.model.init_state(self.n, ph, pw, dtype=self.dtype)
 
-    def _build(self, capacity):
+    def _build(self):
         from evreal_tpu.ops.normalize import post_process_normalization
 
         model, crop, post_norm = self.model, self.crop, self.post_norm
@@ -127,12 +127,12 @@ class BatchedRunner:
         return jax.jit(fn)
 
     def run(self, state, buffers):
-        capacity = buffers["xs"].shape[2]
-        if capacity not in self._fns:
-            self._fns[capacity] = self._build(capacity)
-        return self._fns[capacity](self._params_cast, state, buffers["xs"],
-                                   buffers["ys"], buffers["ts"],
-                                   buffers["ps"], buffers["count"])
+        # one jitted fn; jax.jit caches per input-shape signature
+        if self._fn is None:
+            self._fn = self._build()
+        return self._fn(self._params_cast, state, buffers["xs"],
+                        buffers["ys"], buffers["ts"],
+                        buffers["ps"], buffers["count"])
 
     def metric_scores(self, specs, clipped, refs):
         """(N, T, H, W) images [vs refs] -> {name: (N, T)} device arrays."""
@@ -159,9 +159,12 @@ class BatchedRunner:
         return self._metric_fns[key](clipped, refs)
 
     def _validate_specs(self, specs, hw):
-        from evreal_tpu.harness.runner import MethodRunner
+        from evreal_tpu.harness.runner import validate_metric_specs
 
-        return MethodRunner._validate_specs(self, specs, hw)
+        cache = getattr(self, "_spec_ok", None)
+        if cache is None:
+            cache = self._spec_ok = {}
+        return validate_metric_specs(cache, specs, tuple(hw))
 
 
 def eval_method_on_sequence_group(dataset_name, eval_config, method_name,

@@ -167,6 +167,29 @@ def load_method_params(method_config):
     return load_params(path)
 
 
+def validate_metric_specs(cache, specs, hw):
+    """Keep only metrics whose fn traces at this image shape — the
+    reference's per-metric exception containment (eval_metrics.py:233-242).
+    ``cache`` maps (name, hw) -> bool across calls."""
+    out = []
+    for s in specs:
+        ok = cache.get((s.name, hw))
+        if ok is None:
+            img = jax.ShapeDtypeStruct(hw, jnp.float32)
+            try:
+                jax.eval_shape(s.fn, img) if s.no_ref else \
+                    jax.eval_shape(s.fn, img, img)
+                ok = True
+            except Exception as e:  # noqa: BLE001 — containment
+                print(color_error(
+                    f"metric {s.name} failed at {hw}: {e}; skipping"))
+                ok = False
+            cache[(s.name, hw)] = ok
+        if ok:
+            out.append(s)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # compiled per-method pipeline
 # ---------------------------------------------------------------------------
@@ -193,14 +216,14 @@ class MethodRunner:
         self._params_cast = (params if self.dtype == jnp.float32 else
                              jax.tree.map(lambda a: jnp.asarray(a, self.dtype),
                                           params))
-        self._fns = {}
+        self._fn = None
         self._metric_fns = {}
 
     def init_state(self):
         ph, pw = self.crop.padded_shape
         return self.model.init_state(1, ph, pw, dtype=self.dtype)
 
-    def _build(self, capacity):
+    def _build(self):
         model, crop = self.model, self.crop
         post_norm = self.post_norm
         voxel_stage = self.voxel_stage
@@ -228,12 +251,13 @@ class MethodRunner:
         return jax.jit(fn)
 
     def run(self, state, buffers):
-        capacity = buffers["xs"].shape[1]
-        if capacity not in self._fns:
-            self._fns[capacity] = self._build(capacity)
-        return self._fns[capacity](self._params_cast, state, buffers["xs"],
-                                   buffers["ys"], buffers["ts"],
-                                   buffers["ps"], buffers["count"])
+        # one jitted fn; jax.jit already caches compilations per
+        # (capacity-bucket, dtype) signature
+        if self._fn is None:
+            self._fn = self._build()
+        return self._fn(self._params_cast, state, buffers["xs"],
+                        buffers["ys"], buffers["ts"],
+                        buffers["ps"], buffers["count"])
 
     def metric_scores(self, specs, clipped, refs):
         """Batched metric evaluation: (T,H,W) images [vs refs] ->
@@ -261,27 +285,10 @@ class MethodRunner:
         return self._metric_fns[key](clipped, refs)
 
     def _validate_specs(self, specs, hw):
-        """Keep only metrics whose fn traces at this image shape."""
         cache = getattr(self, "_spec_ok", None)
         if cache is None:
             cache = self._spec_ok = {}
-        out = []
-        for s in specs:
-            ok = cache.get((s.name, hw))
-            if ok is None:
-                img = jax.ShapeDtypeStruct(hw, jnp.float32)
-                try:
-                    jax.eval_shape(s.fn, img) if s.no_ref else \
-                        jax.eval_shape(s.fn, img, img)
-                    ok = True
-                except Exception as e:  # noqa: BLE001 — containment
-                    print(color_error(
-                        f"metric {s.name} failed at {hw}: {e}; skipping"))
-                    ok = False
-                cache[(s.name, hw)] = ok
-            if ok:
-                out.append(s)
-        return out
+        return validate_metric_specs(cache, specs, tuple(hw))
 
 
 # ---------------------------------------------------------------------------

@@ -41,7 +41,7 @@ class ColorRunner:
         enc = model.num_encoders
         self.crop_half = CropParams(width // 2, height // 2, enc)
         self.crop_full = CropParams(width, height, enc)
-        self._fns = {}
+        self._fn = None
 
     def init_state(self):
         ph2, pw2 = self.crop_half.padded_shape
@@ -84,12 +84,12 @@ class ColorRunner:
         return jax.jit(fn)  # no donation: axon transfer bug (see runner)
 
     def run(self, state, buffers):
-        cap = buffers["xs"].shape[1]
-        if cap not in self._fns:
-            self._fns[cap] = self._build()
-        return self._fns[cap](self.params, state, buffers["xs"],
-                              buffers["ys"], buffers["ts"], buffers["ps"],
-                              buffers["count"])
+        # one jitted fn; jax.jit caches per input-shape signature
+        if self._fn is None:
+            self._fn = self._build()
+        return self._fn(self.params, state, buffers["xs"],
+                        buffers["ys"], buffers["ts"], buffers["ps"],
+                        buffers["count"])
 
     def merge_host(self, cimgs, gimgs):
         """Per-frame host merge -> float32 HWC BGR in [0,1] (reference
