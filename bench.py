@@ -28,7 +28,20 @@ CHUNK_T = 32
 
 
 def main():
+    import os
+
     import jax
+
+    # persistent compilation cache: first compile of this program has been
+    # observed taking minutes when the chip is degraded; later runs (incl.
+    # the driver's) reuse the cached executable
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               os.path.expanduser("~/.cache/evreal_jax"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # noqa: BLE001 — cache is best-effort
+        pass
 
     from evreal_tpu.harness.batched import BatchedRunner
     from evreal_tpu.models import build_model
