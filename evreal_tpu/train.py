@@ -8,7 +8,7 @@ reference): truncated-BPTT reconstruction training of event-video models.
 where ``batch = {"voxels": (N, T, H, W, B), "frames": (N, T, H, W)}``.
 The model is scanned over T with its recurrent state as carry, gradients flow
 through the whole chunk (with optional ``jax.checkpoint`` rematerialization to
-trade FLOPs for HBM), and the loss is per-frame MSE (optionally + LPIPS).
+trade FLOPs for HBM), and the loss is per-frame MSE.
 
 Sharding: under a Mesh the step shards the batch over ``dp``, image width
 over ``sp`` (GSPMD inserts conv halo exchanges), and wide conv kernels over
