@@ -106,14 +106,14 @@ class Sequence:
             raise ValueError(f"Invalid voxel forming method chosen ({m})")
 
     def _timeblock_indices(self):
+        """Same table as the reference's per-window searchsorted loop
+        (dataset.py:104-117), built with one vectorized searchsorted."""
         m = self.voxel_method
-        out, start_idx = [], 0
-        for i in range(self.length):
-            start_time = (m["t"] - m["sliding_window_t"]) * i + self.t0
-            end_idx = int(np.searchsorted(self.t, start_time + m["t"]))
-            out.append((start_idx, end_idx))
-            start_idx = end_idx
-        return out
+        step = m["t"] - m["sliding_window_t"]
+        end_times = step * np.arange(self.length) + self.t0 + m["t"]
+        ends = np.searchsorted(self.t, end_times)
+        starts = np.concatenate([[0], ends[:-1]])
+        return [(int(a), int(b)) for a, b in zip(starts, ends)]
 
     def _frame_indices(self):
         out, start_idx = [], 0
