@@ -152,6 +152,15 @@ def main():
     args = ap.parse_args()
     import jax
 
+    try:  # share the persistent compile cache (see bench.py)
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                           os.path.expanduser("~/.cache/evreal_jax")))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # noqa: BLE001
+        pass
+
     print(f"backend: {jax.default_backend()}", flush=True)
     with tempfile.TemporaryDirectory() as root:
         paths = make_full_size_checkpoints(root, args.methods)
