@@ -114,3 +114,58 @@ def test_eval_infer_all_reconstructs_everything(tmp_path, monkeypatch,
     assert 0 < num_eval < len(seq)  # scoring still gated to [start, end]
     rows = open(os.path.join(out, "mse.txt")).read().splitlines()
     assert len(rows) == num_eval
+
+
+def test_zero_event_windows_through_pipeline(tmp_path, monkeypatch):
+    """Windows with no events (reference dataset.py:59-75) must flow through
+    the compiled pipeline: empty voxel, event_rate 0, frames still saved."""
+    import numpy as np
+
+    d = tmp_path / "gap"
+    d.mkdir()
+    rng = np.random.default_rng(4)
+    # events only in [0, 0.2] and [0.8, 1.0]; frames at 0.1..0.9 -> several
+    # between-frame windows contain zero events
+    n = 3000
+    ts = np.sort(np.concatenate([rng.uniform(0, 0.2, n // 2),
+                                 rng.uniform(0.8, 1.0, n // 2)]))
+    np.save(d / "events_ts.npy", ts.astype(np.float64))
+    np.save(d / "events_xy.npy", np.stack(
+        [rng.integers(0, 32, n), rng.integers(0, 24, n)], 1).astype(np.int16))
+    np.save(d / "events_p.npy", rng.integers(0, 2, n).astype(np.uint8))
+    frame_ts = np.linspace(0.05, 0.95, 10)
+    frames = rng.integers(0, 255, (10, 24, 32, 3)).astype(np.uint8)
+    np.save(d / "images.npy", frames)
+    np.save(d / "images_ts.npy", frame_ts.reshape(-1, 1))
+    np.save(d / "image_event_indices.npy", np.searchsorted(
+        ts, frame_ts, "right").reshape(-1, 1) - 1)
+    (d / "metadata.json").write_text(json.dumps(
+        {"sensor_resolution": [24, 32]}))
+
+    from evreal_tpu.data import Sequence
+
+    monkeypatch.chdir(tmp_path)
+    seq = Sequence(str(d), num_bins=5,
+                   voxel_method={"method": "between_frames"})
+    metas = seq.windows()
+    assert any(m["event_count"] == 0 for m in metas), "fixture needs a gap"
+
+    eval_config = {"name": "std", "save_images": True, "histeq": "none",
+                   "eval_infer_all": False, "ts_tol_ms": 1e9,
+                   "create_video": False, "dataset_kwargs": {"num_bins": 5}}
+    method_config = {"model_name": "FireNet+",
+                     "event_tensor_normalization": False,
+                     "post_process_norm": "none"}
+    t0, t1 = seq.get_min_max_t()
+    sequence = {"name": "gap", "dataset": seq,
+                "start_time_s": t0, "end_time_s": t1}
+    num_eval, mean_scores = eval_method_on_sequence(
+        "SYN", eval_config, "FireNet+", FakeBundle("FireNet+"),
+        method_config, sequence, ["mse"])
+    assert num_eval == len(seq)
+    out = os.path.join("outputs", "std", "SYN", "gap", "FireNet+")
+    assert len(glob.glob(os.path.join(out, "frame_*.png"))) == len(seq)
+    rates = [float(line.split()[1]) for line in
+             open(os.path.join(out, "event_rate.txt"))]
+    zero_idx = [i for i, m in enumerate(metas) if m["event_count"] == 0]
+    assert all(rates[i] == 0.0 for i in zero_idx)
