@@ -173,3 +173,26 @@ def test_print_scores_table(capsys):
     assert "MSE" in out and "SSIM" in out
     assert "0.312" in out             # (0.125*10 + 0.375*30) / 40
     assert "0.650" in out
+
+
+def test_robustness_plots_render(tmp_path):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import pandas as pd
+
+    from analysis.robustness import plot_condition_sweep, plot_event_rate
+
+    means = {"E2VID": {"t10ms": 0.3, "t20ms": 0.4},
+             "FireNet": {"t10ms": 0.5, "t20ms": 0.45}}
+    out = tmp_path / "sweep.png"
+    plot_condition_sweep(means, "duration (ms)", "LPIPS", str(out))
+    assert out.exists() and out.stat().st_size > 0
+
+    rng = np.random.default_rng(0)
+    df = pd.DataFrame({"model": ["E2VID"] * 200,
+                       "event_rate": rng.uniform(1e4, 1e7, 200),
+                       "score": rng.uniform(0.2, 0.6, 200)})
+    out2 = tmp_path / "rate.png"
+    plot_event_rate(df, "LPIPS", str(out2))
+    assert out2.exists() and out2.stat().st_size > 0
