@@ -87,3 +87,40 @@ def test_fractional_coords_pack_as_float(tmp_path):
     assert buffers["xs"].dtype == np.float32
     n0 = metas[0]["event_count"]
     np.testing.assert_array_equal(buffers["xs"][0, :n0], xy[:n0, 0])
+
+
+def test_native_zero_event_and_full_capacity_rows(tmp_path, monkeypatch):
+    """Edge rows through the C++ packer: n==0 (all-zero row), n==capacity,
+    and a window ending exactly at the last event."""
+    if native.load() is None:
+        pytest.skip("no C++ compiler available")
+    rng = np.random.default_rng(11)
+    n = 2000
+    ts = np.sort(rng.uniform(0, 1.0, n)).astype(np.float64)
+    xy = np.stack([rng.integers(0, 64, n), rng.integers(0, 48, n)],
+                  axis=1).astype(np.int16)
+    p = rng.integers(0, 2, n).astype(np.uint8)
+    np.save(tmp_path / "events_ts.npy", ts)
+    np.save(tmp_path / "events_xy.npy", xy)
+    np.save(tmp_path / "events_p.npy", p)
+    (tmp_path / "metadata.json").write_text(
+        json.dumps({"sensor_resolution": [48, 64]}))
+
+    seq = Sequence(str(tmp_path),
+                   voxel_method={"method": "k_events", "k": 100,
+                                 "sliding_window_w": 0})
+    # hand-crafted window table: empty, exact-capacity, ends-at-last-event
+    cap = 128
+    metas = [
+        {"idx0": 50, "idx1": 50, "event_count": 0},      # empty
+        {"idx0": 0, "idx1": cap, "event_count": cap},     # full row
+        {"idx0": n - 7, "idx1": n, "event_count": 7},     # tail of array
+    ]
+    got, _ = pack_windows(seq, [0, 1, 2], capacity=cap, metas=list(metas))
+    monkeypatch.setattr(native, "_lib", None)
+    want, _ = pack_windows(seq, [0, 1, 2], capacity=cap, metas=list(metas))
+    for key in ("xs", "ys", "ts", "ps", "count"):
+        np.testing.assert_array_equal(got[key], want[key], err_msg=key)
+    assert got["count"].tolist() == [0, cap, 7]
+    assert not got["xs"][0].any() and not got["ps"][0].any()
+    np.testing.assert_array_equal(got["xs"][2, :7], xy[n - 7:, 0])
