@@ -169,3 +169,47 @@ def test_zero_event_windows_through_pipeline(tmp_path, monkeypatch):
              open(os.path.join(out, "event_rate.txt"))]
     zero_idx = [i for i, m in enumerate(metas) if m["event_count"] == 0]
     assert all(rates[i] == 0.0 for i in zero_idx)
+
+
+def test_eval_is_deterministic(tmp_path, monkeypatch, tmp_path_factory):
+    """Two identical runs produce byte-identical score/timestamp files
+    (the reference is nondeterministic only via unseeded keep_ratio, which
+    we seed)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir,
+                                    "tools"))
+    from make_synthetic_sequence import make_sequence
+
+    from evreal_tpu.data import Sequence
+
+    d = tmp_path_factory.mktemp("data") / "seq0"
+    make_sequence(str(d), height=32, width=48, duration_s=0.8, fps=20,
+                  events_per_frame=400, seed=6)
+    eval_config = {"name": "std", "save_images": False, "histeq": "none",
+                   "eval_infer_all": False, "ts_tol_ms": 1.0,
+                   "create_video": False, "dataset_kwargs": {"num_bins": 5}}
+    method_config = {"model_name": "FireNet+",
+                     "event_tensor_normalization": False,
+                     "post_process_norm": "none"}
+    bundle = FakeBundle("FireNet+")
+
+    texts = []
+    for run in ("a", "b"):
+        rd = tmp_path / run
+        rd.mkdir()
+        monkeypatch.chdir(rd)
+        seq = Sequence(str(d), num_bins=5, keep_ratio=0.8, seed=0,
+                       voxel_method={"method": "between_frames"})
+        t0, t1 = seq.get_min_max_t()
+        sequence = {"name": "seq0", "dataset": seq,
+                    "start_time_s": t0, "end_time_s": t1}
+        eval_method_on_sequence("SYN", eval_config, "FireNet+", bundle,
+                                method_config, sequence, ["mse", "ssim"])
+        base = rd / "outputs/std/SYN/seq0/FireNet+"
+        texts.append({f.name: f.read_text()
+                      for f in sorted(base.iterdir())
+                      if f.suffix == ".txt"})
+    assert texts[0] == texts[1]
+    assert set(texts[0]) == {"timestamps.txt", "mse.txt", "ssim.txt",
+                             "event_rate.txt"}
