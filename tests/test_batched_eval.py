@@ -107,3 +107,49 @@ def test_batched_histeq_matches_single(seq_dirs, tmp_path, monkeypatch):
         proc = list((batched_dir / "outputs/std/SYNS" / f"seq{i}").glob(
             "FireNet+_processed/frame_*.png"))
         assert proc, "processed PNGs missing"
+
+
+def test_batched_group_with_mixed_gt_availability(seq_dirs, tmp_path,
+                                                  monkeypatch):
+    """A lockstep group mixing a with-GT and an events-only sequence: the
+    GT sequence scores FR metrics, the other only writes frames."""
+    import json
+    import os
+
+    import numpy as np
+
+    d = tmp_path / "nogt_seq"
+    d.mkdir()
+    rng = np.random.default_rng(12)
+    n = 4000
+    ts = np.sort(rng.uniform(0, 1.0, n)).astype(np.float64)
+    np.save(d / "events_ts.npy", ts)
+    np.save(d / "events_xy.npy", np.stack(
+        [rng.integers(0, 64, n), rng.integers(0, 48, n)], 1).astype(np.int16))
+    np.save(d / "events_p.npy", rng.integers(0, 2, n).astype(np.uint8))
+    (d / "metadata.json").write_text(json.dumps(
+        {"sensor_resolution": [48, 64]}))
+
+    vm = {"method": "t_seconds", "t": 0.05, "sliding_window_t": 0}
+    gt_seq = Sequence(seq_dirs[0], num_bins=5, voxel_method=dict(vm))
+    ev_seq = Sequence(str(d), num_bins=5, voxel_method=dict(vm))
+    group = [{"name": "with_gt", "dataset": gt_seq,
+              "start_time_s": 0.0, "end_time_s": 10.0},
+             {"name": "no_gt", "dataset": ev_seq,
+              "start_time_s": 0.0, "end_time_s": 10.0}]
+
+    monkeypatch.chdir(tmp_path)
+    cfg = dict(EVAL_CONFIG, ts_tol_ms=1e9, save_images=True)
+    results = eval_method_on_sequence_group(
+        "MIX", cfg, "FireNet+", FakeBundle("FireNet+"), METHOD_CONFIG,
+        group, ["mse", "ssim"])
+    (n_gt, s_gt), (n_ev, s_ev) = results
+    assert n_gt > 0 and set(s_gt) == {"mse", "ssim"}
+    # without GT the FR metrics are dropped (no scores recorded), but the
+    # windows still count as quan-evaluated — same as the reference's
+    # gating (eval_metrics.py:267-273) and our single-sequence path
+    assert n_ev == len(ev_seq) and s_ev == {}
+    base = tmp_path / "outputs/std/MIX"
+    assert list((base / "no_gt" / "FireNet+").glob("frame_*.png"))
+    assert not (base / "no_gt" / "FireNet+" / "mse.txt").exists() or \
+        (base / "no_gt" / "FireNet+" / "mse.txt").read_text() == ""
