@@ -89,10 +89,12 @@ def make_full_size_checkpoints(root, methods):
             "state_dict": m.state_dict()})
     if "SPADE-E2VID" in methods:
         save("SPADE-E2VID", spade.Unet6().state_dict())
-    # FireNet / FireNet+: real shipped weights
+    # FireNet / FireNet+: real shipped weights from an EVREAL checkout
+    evreal_root = os.environ.get("EVREAL_REFERENCE", "/root/reference")
     for method in ("FireNet", "FireNet+"):
         if method in methods:
-            src = f"/root/reference/pretrained/{method}/model.pth"
+            src = os.path.join(evreal_root, "pretrained", method,
+                               "model.pth")
             if os.path.exists(src):
                 paths[method] = src
     return paths
