@@ -144,8 +144,11 @@ def voxelize_matmul(xs, ys, ts, ps, count, num_bins, sensor_size,
 
 @functools.partial(jax.jit, static_argnames=("num_bins", "sensor_size", "impl"))
 def voxelize(xs, ys, ts, ps, count, num_bins=5, sensor_size=(180, 240),
-             impl="scatter"):
-    """Voxelize one event window. ``impl``: 'scatter' | 'matmul'."""
+             impl=None):
+    """Voxelize one event window. ``impl``: 'scatter' | 'matmul' | None
+    (auto: the MXU matmul on TPU, scatter elsewhere)."""
+    if impl is None:
+        impl = "matmul" if jax.default_backend() == "tpu" else "scatter"
     fn = voxelize_scatter if impl == "scatter" else voxelize_matmul
     return fn(xs, ys, ts, ps, count, num_bins, sensor_size)
 
