@@ -196,3 +196,23 @@ def test_robustness_plots_render(tmp_path):
     out2 = tmp_path / "rate.png"
     plot_event_rate(df, "LPIPS", str(out2))
     assert out2.exists() and out2.stat().st_size > 0
+
+
+def test_missing_checkpoint_is_contained(tmp_path, monkeypatch, capsys):
+    """A method whose checkpoint is absent prints the exception and yields
+    no metrics instead of aborting the run (reference eval.py:344-352)."""
+    from evreal_tpu.harness.runner import eval_method_with_config
+
+    monkeypatch.chdir(tmp_path)  # no pretrained/ anywhere
+    cfg_dir = tmp_path / "config" / "method"
+    cfg_dir.mkdir(parents=True)
+    (cfg_dir / "GhostNet.json").write_text(json.dumps({
+        "model_name": "GhostNet",
+        "model_path": "pretrained/GhostNet/model.pth",
+        "event_tensor_normalization": False,
+        "post_process_norm": "none"}))
+    out = eval_method_with_config({"name": "std", "ts_tol_ms": 1.0},
+                                  "GhostNet", [], ["mse"])
+    assert out == []
+    printed = capsys.readouterr().out
+    assert "Exception while getting method GhostNet" in printed
