@@ -3,7 +3,9 @@
 (reference downstream_tasks/calibration/images_to_rosbag.py). Frame index in
 the filename becomes the ROS timestamp (index + '00' as nanoseconds).
 
-Requires rospy/rosbag (ROS environment); exits clearly when absent."""
+Uses rospy/rosbag when installed; otherwise the built-in pure-Python bag
+writer (evreal_tpu/utils/rosbag.py) produces a spec-conformant v2.0 bag
+kalibr can read."""
 
 import argparse
 import glob
@@ -13,11 +15,14 @@ import os
 def main():
     try:
         import rosbag
-        import rospy
+        from rospy import Time
         from sensor_msgs.msg import Image
     except ImportError:
-        raise SystemExit("images_to_rosbag.py needs a ROS environment "
-                         "(rosbag, rospy) — run inside the evreal-tools env")
+        import sys
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))))
+        from evreal_tpu.utils import rosbag
+        from evreal_tpu.utils.rosbag import Image, Time
     import cv2
 
     ap = argparse.ArgumentParser(description=__doc__)
@@ -36,7 +41,7 @@ def main():
             stamp = os.path.splitext(os.path.basename(image_path))[0]
             stamp = stamp[6:] + "00"  # frame_%010d -> pseudo-nanoseconds
             img = cv2.imread(image_path, 0)
-            ts = rospy.Time(secs=int(stamp[0:-9]), nsecs=int(stamp[-9:]))
+            ts = Time(secs=int(stamp[0:-9]), nsecs=int(stamp[-9:]))
             msg = Image()
             msg.header.stamp = ts
             msg.height, msg.width = img.shape

@@ -4,14 +4,17 @@ Reference semantics (tools/bag_to_npy.py): decreasing image timestamps
 repaired by neighbor averaging, timestamps zeroed at the global minimum,
 ``image_event_indices = searchsorted(events_ts, images_ts, 'right') - 1``.
 
-Requires a rosbag reader (``embag`` or ``rosbag``); those are not baked into
-this image, so the script exits with a clear message when absent.
+Uses ``embag``/``rosbag`` when installed; otherwise falls back to the
+built-in pure-Python bag reader (evreal_tpu/utils/rosbag.py), which also
+decodes EventArray messages vectorized instead of the reference's per-event
+Python loop (tools/bag_to_npy.py:40-45).
 """
 
 import argparse
 import glob
 import json
 import os
+import sys
 
 import numpy as np
 
@@ -21,7 +24,9 @@ except ImportError:  # pragma: no cover - optional dependency
     try:
         import rosbag
     except ImportError:
-        rosbag = None
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        from evreal_tpu.utils import rosbag
 
 
 def _ts_float(ts):
@@ -37,11 +42,18 @@ def bag_to_npy(bag_path, output_path, event_topic, image_topic):
     bag = rosbag.Bag(bag_path)
     for topic, msg, _ in bag.read_messages([image_topic, event_topic]):
         if topic == event_topic:
-            for e in msg.events:
-                xs.append(e.x)
-                ys.append(e.y)
-                ts.append(_ts_float(e.ts))
-                ps.append(1 if e.polarity else 0)
+            if hasattr(msg, "xs"):  # built-in reader: vectorized columns
+                xs.append(np.asarray(msg.xs, np.int64))
+                ys.append(np.asarray(msg.ys, np.int64))
+                ts.append(msg.ts_float)
+                ps.append(msg.ps.astype(np.int64))
+            else:  # embag/rosbag: per-event objects
+                ev = msg.events
+                xs.append(np.array([e.x for e in ev], np.int64))
+                ys.append(np.array([e.y for e in ev], np.int64))
+                ts.append(np.array([_ts_float(e.ts) for e in ev]))
+                ps.append(np.array([1 if e.polarity else 0 for e in ev],
+                                   np.int64))
         else:
             images_ts.append(_ts_float(msg.header.stamp))
             h, w = msg.height, msg.width
@@ -55,9 +67,9 @@ def bag_to_npy(bag_path, output_path, event_topic, image_topic):
             images.append(img)
     bag.close()
 
-    events_ts = np.array(ts)
-    events_xy = np.stack([xs, ys], -1)
-    events_p = np.array(ps)
+    events_ts = np.concatenate(ts) if ts else np.empty(0)
+    events_xy = np.stack([np.concatenate(xs), np.concatenate(ys)], -1)
+    events_p = np.concatenate(ps) if ps else np.empty(0, np.int64)
     images = np.stack(images)[..., None]
     images_ts = np.array(images_ts)
 
@@ -85,9 +97,6 @@ def bag_to_npy(bag_path, output_path, event_topic, image_topic):
 
 
 if __name__ == "__main__":
-    if rosbag is None:
-        raise SystemExit("bag_to_npy needs 'embag' or 'rosbag' "
-                         "(pip install embag) — not available in this image")
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("path", help="directory of ROS bags")
     ap.add_argument("--event_topic", default="/dvs/events")
