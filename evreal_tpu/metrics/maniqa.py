@@ -1,0 +1,343 @@
+"""MANIQA (Multi-dimension Attention Network for no-reference IQA,
+Yang et al., CVPRW 2022) — the third no-reference metric of the reference's
+Table-3 commands (README.md:99-102), exposed there through the pyiqa factory
+(utils/eval_metrics.py:100-159).
+
+Native JAX port of the published architecture (official IIGROUP/MANIQA
+``models/maniqa.py``, vendored by pyiqa as ``archs/maniqa_arch.py``):
+
+  1. ViT-B/8 backbone (timm ``vit_base_patch8_224``); token features of
+     transformer blocks 6-9 (cls dropped) concatenated -> (784, 3072).
+  2. Stage 1: 2x TABlock (transposed attention over *channels*; includes the
+     official code's transpose-then-reshape layout quirk, replicated
+     bit-for-bit) -> 1x1 conv to 768 -> 2-layer x 2-block windowed (Swin)
+     transformer, window 4, scaled residuals.
+  3. Stage 2: same shape with half the channels (384).
+  4. Per-patch score and sigmoid-weight heads; image score =
+     sum(w*s)/sum(w); final score = mean over random 224x224 crops.
+
+The forward is *shape-driven*: every dimension (depth, heads, widths) is
+read off the converted weight arrays, keyed by the original torch state-dict
+names. Weights are pretrained (pyiqa downloads them) and unobtainable in
+this zero-egress image: convert them with ``tools/convert_maniqa.py`` —
+which also *asserts numerical parity* between pyiqa's net and this port at
+conversion time — to ``weights/maniqa.npz``; the metric registers itself
+only when that file exists (same gating as LPIPS/NIQE/BRISQUE).
+
+Deliberate divergence: crop positions are seeded/deterministic (pyiqa's
+``random_crop`` is unseeded); images smaller than 224 on a side are
+bilinearly upscaled to fit (ECD frames are 180 px tall).
+"""
+
+import os
+
+import numpy as np
+
+DEFAULT_PARAMS = os.path.join(os.path.dirname(__file__), os.pardir,
+                              os.pardir, "weights", "maniqa.npz")
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+CROP = 224  # ViT-B/8 input resolution
+_FEATURE_BLOCKS = (6, 7, 8, 9)  # maniqa_arch extract_feature
+
+
+def params_available(path=None):
+    return os.path.exists(path or os.environ.get("EVREAL_MANIQA_PARAMS",
+                                                 DEFAULT_PARAMS))
+
+
+def load_params(path=None):
+    import jax.numpy as jnp
+
+    data = np.load(path or os.environ.get("EVREAL_MANIQA_PARAMS",
+                                          DEFAULT_PARAMS))
+    return {k: jnp.asarray(data[k]) for k in data.files}
+
+
+# ---------------------------------------------------------------------------
+# primitive layers (torch conventions: Linear weight (out, in))
+
+
+def _linear(x, p, name):
+    import jax.numpy as jnp
+
+    return x @ jnp.transpose(p[f"{name}.weight"]) + p[f"{name}.bias"]
+
+
+def _layer_norm(x, p, name, eps=1e-6):
+    import jax.numpy as jnp
+
+    mu = jnp.mean(x, -1, keepdims=True)
+    var = jnp.var(x, -1, keepdims=True)
+    return ((x - mu) / jnp.sqrt(var + eps)) * p[f"{name}.weight"] \
+        + p[f"{name}.bias"]
+
+
+def _gelu(x):
+    import jax
+
+    return jax.nn.gelu(x, approximate=False)
+
+
+def _mha(x, p, prefix, num_heads):
+    """Standard pre-projected multi-head self-attention over (B, N, C)
+    with fused qkv (timm ViT block layout)."""
+    import jax.numpy as jnp
+
+    b, n, c = x.shape
+    hd = c // num_heads
+    qkv = _linear(x, p, f"{prefix}.qkv")
+    qkv = qkv.reshape(b, n, 3, num_heads, hd).transpose(2, 0, 3, 1, 4)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+    attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (hd ** -0.5)
+    attn = jnp.exp(attn - jnp.max(attn, -1, keepdims=True))
+    attn = attn / jnp.sum(attn, -1, keepdims=True)
+    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+    out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+    return _linear(out, p, f"{prefix}.proj")
+
+
+# ---------------------------------------------------------------------------
+# ViT-B/8 backbone (timm vit_base_patch8_224, eval mode)
+
+
+def _vit_features(x, p):
+    """x: (B, 224, 224, 3) normalized -> concat of block 6-9 token features
+    (B, 784, 4*768). Blocks past the last tapped one are skipped."""
+    import jax
+    import jax.numpy as jnp
+
+    w = p["vit.patch_embed.proj.weight"]  # (768, 3, 8, 8)
+    patch = w.shape[-1]
+    x = jax.lax.conv_general_dilated(
+        x, jnp.transpose(w, (2, 3, 1, 0)), (patch, patch), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    x = x + p["vit.patch_embed.proj.bias"]
+    b, gh, gw, c = x.shape
+    x = x.reshape(b, gh * gw, c)
+    cls = jnp.broadcast_to(p["vit.cls_token"], (b, 1, c))
+    x = jnp.concatenate([cls, x], 1) + p["vit.pos_embed"]
+
+    num_heads = 12  # ViT-B
+    feats = []
+    for i in range(max(_FEATURE_BLOCKS) + 1):
+        pre = f"vit.blocks.{i}"
+        x = x + _mha(_layer_norm(x, p, f"{pre}.norm1"), p, f"{pre}.attn",
+                     num_heads)
+        h = _layer_norm(x, p, f"{pre}.norm2")
+        h = _gelu(_linear(h, p, f"{pre}.mlp.fc1"))
+        x = x + _linear(h, p, f"{pre}.mlp.fc2")
+        if i in _FEATURE_BLOCKS:
+            feats.append(x[:, 1:])  # drop cls token
+    return jnp.concatenate(feats, -1)
+
+
+# ---------------------------------------------------------------------------
+# TABlock — transposed (channel) attention
+
+
+def _tablock(x, p, prefix):
+    """x: (B, C, N); linears act on N; attention is C x C. Replicates the
+    official forward exactly, including the (attn @ v).transpose(-2, -1)
+    .reshape(B, C, N) layout quirk (maniqa_arch TABlock)."""
+    import jax.numpy as jnp
+
+    b, c, n = x.shape
+    q = _linear(x, p, f"{prefix}.c_q")
+    k = _linear(x, p, f"{prefix}.c_k")
+    v = _linear(x, p, f"{prefix}.c_v")
+    attn = jnp.einsum("bcn,bdn->bcd", q, k) * (n ** -0.5)
+    attn = jnp.exp(attn - jnp.max(attn, -1, keepdims=True))
+    attn = attn / jnp.sum(attn, -1, keepdims=True)
+    out = jnp.einsum("bcd,bdn->bcn", attn, v)
+    out = jnp.swapaxes(out, -2, -1).reshape(b, c, n)  # official quirk
+    return out + x
+
+
+# ---------------------------------------------------------------------------
+# windowed (Swin-style) transformer stage
+
+
+def _rel_position_index(ws):
+    """Standard Swin relative-position index for a ws x ws window."""
+    coords = np.stack(np.meshgrid(np.arange(ws), np.arange(ws),
+                                  indexing="ij"))  # (2, ws, ws)
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]  # (2, N, N)
+    rel = rel.transpose(1, 2, 0) + (ws - 1)
+    return (rel[..., 0] * (2 * ws - 1) + rel[..., 1]).astype(np.int32)
+
+
+def _shift_mask(hw, ws, shift):
+    """Attention mask for shifted windows: (num_windows, N, N) additive."""
+    img = np.zeros((hw, hw), np.int32)
+    cnt = 0
+    for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+        for vs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+            img[hs, vs] = cnt
+            cnt += 1
+    win = img.reshape(hw // ws, ws, hw // ws, ws).transpose(0, 2, 1, 3)
+    win = win.reshape(-1, ws * ws)
+    mask = (win[:, None, :] != win[:, :, None]).astype(np.float32) * -100.0
+    return mask
+
+
+def _window_attention(x, p, prefix, ws, mask):
+    """x: (B, nW, N, C) window tokens; relative-position-biased MHA."""
+    import jax.numpy as jnp
+
+    b, nw, n, c = x.shape
+    table = p[f"{prefix}.relative_position_bias_table"]  # ((2ws-1)^2, nH)
+    num_heads = table.shape[1]
+    hd = c // num_heads
+    qkv = _linear(x, p, f"{prefix}.qkv")
+    qkv = qkv.reshape(b, nw, n, 3, num_heads, hd).transpose(3, 0, 1, 4, 2, 5)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+    attn = jnp.einsum("bwhqd,bwhkd->bwhqk", q, k) * (hd ** -0.5)
+    idx = _rel_position_index(ws).reshape(-1)
+    bias = table[idx].reshape(n, n, num_heads).transpose(2, 0, 1)
+    attn = attn + bias
+    if mask is not None:
+        attn = attn + mask[None, :, None]
+    attn = jnp.exp(attn - jnp.max(attn, -1, keepdims=True))
+    attn = attn / jnp.sum(attn, -1, keepdims=True)
+    out = jnp.einsum("bwhqk,bwhkd->bwhqd", attn, v)
+    out = out.transpose(0, 1, 3, 2, 4).reshape(b, nw, n, c)
+    return _linear(out, p, f"{prefix}.proj")
+
+
+def _swin_block(x, p, prefix, hw, ws, shift, scale):
+    """x: (B, H*W, C). Scaled residuals (MANIQA's swin variant multiplies
+    each residual branch by ``scale``, maniqa_arch SwinTransformer)."""
+    import jax.numpy as jnp
+
+    b, n, c = x.shape
+    shortcut = x
+    x = _layer_norm(x, p, f"{prefix}.norm1", eps=1e-5)
+    x = x.reshape(b, hw, hw, c)
+    if shift:
+        x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
+        mask = jnp.asarray(_shift_mask(hw, ws, shift))
+    else:
+        mask = None
+    nw = hw // ws
+    x = x.reshape(b, nw, ws, nw, ws, c).transpose(0, 1, 3, 2, 4, 5)
+    x = x.reshape(b, nw * nw, ws * ws, c)
+    x = _window_attention(x, p, f"{prefix}.attn", ws, mask)
+    x = x.reshape(b, nw, nw, ws, ws, c).transpose(0, 1, 3, 2, 4, 5)
+    x = x.reshape(b, hw, hw, c)
+    if shift:
+        x = jnp.roll(x, (shift, shift), axis=(1, 2))
+    x = shortcut + scale * x.reshape(b, n, c)
+    h = _layer_norm(x, p, f"{prefix}.norm2", eps=1e-5)
+    h = _gelu(_linear(h, p, f"{prefix}.mlp.fc1"))
+    h = _linear(h, p, f"{prefix}.mlp.fc2")
+    return x + scale * h
+
+
+def _swin_stage(x, p, prefix, ws, scale):
+    """x: (B, C, H, W) -> (B, C, H, W); layer/block depth read off params."""
+    import jax.numpy as jnp
+
+    b, c, hw, _ = x.shape
+    x = x.reshape(b, c, hw * hw).transpose(0, 2, 1)  # (B, N, C)
+    i = 0
+    while f"{prefix}.layers.{i}.blocks.0.norm1.weight" in p:
+        j = 0
+        while f"{prefix}.layers.{i}.blocks.{j}.norm1.weight" in p:
+            shift = 0 if j % 2 == 0 else ws // 2
+            x = _swin_block(x, p, f"{prefix}.layers.{i}.blocks.{j}",
+                            hw, ws, shift, scale)
+            j += 1
+        i += 1
+    return x.transpose(0, 2, 1).reshape(b, c, hw, hw)
+
+
+# ---------------------------------------------------------------------------
+
+
+def maniqa_scores(params, crops, window_size=4, scale=0.8):
+    """crops: (B, 224, 224, 3), already imagenet-normalized -> (B,) scores."""
+    import jax.numpy as jnp
+
+    x = _vit_features(crops, params)  # (B, 784, 3072)
+    b, n, c = x.shape
+    hw = int(round(n ** 0.5))
+    x = x.transpose(0, 2, 1)  # (B, C, N)
+    for i in (0, 1):
+        x = _tablock(x, params, f"tablock1.{i}")
+    x = x.reshape(b, c, hw, hw)
+    w1 = params["conv1.weight"][:, :, 0, 0]  # (768, 3072)
+    x = jnp.einsum("oc,bchw->bohw", w1, x) \
+        + params["conv1.bias"][None, :, None, None]
+    x = _swin_stage(x, params, "swintransformer1", window_size, scale)
+
+    b, c1, _, _ = x.shape
+    x = x.reshape(b, c1, n)
+    for i in (0, 1):
+        x = _tablock(x, params, f"tablock2.{i}")
+    x = x.reshape(b, c1, hw, hw)
+    w2 = params["conv2.weight"][:, :, 0, 0]
+    x = jnp.einsum("oc,bchw->bohw", w2, x) \
+        + params["conv2.bias"][None, :, None, None]
+    x = _swin_stage(x, params, "swintransformer2", window_size, scale)
+
+    x = x.reshape(b, x.shape[1], n).transpose(0, 2, 1)  # (B, N, C//2)
+    s = _linear(x, params, "fc_score.0")
+    s = jnp.maximum(s, 0)
+    s = _linear(s, params, "fc_score.3")
+    s = jnp.maximum(s, 0)[..., 0]  # (B, N)
+    w = _linear(x, params, "fc_weight.0")
+    w = jnp.maximum(w, 0)
+    w = _linear(w, params, "fc_weight.3")
+    w = 1.0 / (1.0 + jnp.exp(-w))[..., 0]
+    return jnp.sum(s * w, 1) / jnp.sum(w, 1)
+
+
+def _crop_positions(h, w, n_crops, seed=0):
+    """Deterministic crop top-lefts (pyiqa's random_crop is unseeded)."""
+    rng = np.random.default_rng(seed)
+    ys = rng.integers(0, h - CROP + 1, n_crops)
+    xs = rng.integers(0, w - CROP + 1, n_crops)
+    return list(zip(ys.tolist(), xs.tolist()))
+
+
+def maniqa(params, img, n_crops=20, seed=0, window_size=4, scale=0.8):
+    """img: 2-D grayscale in [0, 1] -> scalar MANIQA score (higher=better).
+
+    Gray replicated to RGB (the harness's cv2torch-equivalent,
+    eval_utils.py:49-54), upscaled if smaller than the 224 crop, scored on
+    ``n_crops`` deterministic crops and averaged (maniqa_arch inference)."""
+    import jax
+    import jax.numpy as jnp
+
+    h, w = img.shape
+    x = img[None, :, :, None]
+    if h < CROP or w < CROP:
+        s = max(CROP / h, CROP / w)
+        h, w = max(int(round(h * s)), CROP), max(int(round(w * s)), CROP)
+        x = jax.image.resize(x, (1, h, w, 1), "bilinear")
+    x = (jnp.repeat(x, 3, -1) - IMAGENET_MEAN) / IMAGENET_STD
+    crops = jnp.stack([
+        jax.lax.dynamic_slice(x[0], (y, cx, 0), (CROP, CROP, 3))
+        for y, cx in _crop_positions(h, w, n_crops, seed)])
+    return jnp.mean(maniqa_scores(params, crops, window_size, scale))
+
+
+def register_if_available():
+    """Register 'maniqa' (device-side, weights-gated like LPIPS)."""
+    if not params_available():
+        return False
+    from evreal_tpu.metrics.registry import register
+
+    params = load_params()
+    scale = float(params.pop("_meta_scale", 0.8))
+    window = int(params.pop("_meta_window", 4))
+    n_crops = int(os.environ.get("EVREAL_MANIQA_CROPS", "20"))
+    register("maniqa",
+             lambda img: maniqa(params, img, n_crops=n_crops,
+                                window_size=window, scale=scale),
+             no_ref=True)
+    return True

@@ -12,7 +12,8 @@ The harness vmaps it over frame chunks on device. Register via::
     from evreal_tpu.metrics.registry import register
     register("mymetric", my_fn, no_ref=False)
 
-Built-ins: mse, ssim, lpips (the last only when converted weights exist).
+Built-ins: mse, ssim, plus lpips/niqe/brisque/maniqa when their converted
+weights exist (weights/README.md).
 """
 
 import dataclasses
@@ -42,11 +43,15 @@ def resolve(metric_names):
     unknown/unavailable metrics and returns the usable specs in order."""
     _ensure_builtins()
     specs = []
+    gated = {"lpips": "tools/convert_lpips.py",
+             "maniqa": "tools/convert_maniqa.py",
+             "niqe": "tools/convert_niqe.py",
+             "brisque": "tools/convert_brisque.py"}
     for m in metric_names:
         key = m.lower()
-        if key == "lpips" and key not in _REGISTRY:
-            print("lpips weights unavailable (see tools/convert_lpips.py); "
-                  "skipping lpips")
+        if key in gated and key not in _REGISTRY:
+            print(f"{key} weights unavailable (see {gated[key]}); "
+                  f"skipping {key}")
             continue
         spec = _REGISTRY.get(key)
         if spec is None:
@@ -72,6 +77,9 @@ def _ensure_builtins():
     if lpips_mod.weights_available():
         w = lpips_mod.load_weights()
         register("lpips", lambda img, ref: lpips_mod.lpips(w, img, ref)[0])
+    from evreal_tpu.metrics import maniqa as maniqa_mod
+
+    maniqa_mod.register_if_available()
     try:
         from evreal_tpu.metrics import brisque as brisque_mod
         from evreal_tpu.metrics import niqe as niqe_mod
