@@ -47,7 +47,8 @@ def _native_eligible(seq):
         return False
 
 
-def pack_windows(seq, indices, capacity=None, out=None, metas=None):
+def pack_windows(seq, indices, capacity=None, out=None, metas=None,
+                 out_zeroed=True):
     """Pack the given window indices of a Sequence.
 
     Returns (buffers, metas) where buffers is a dict of numpy arrays
@@ -56,7 +57,10 @@ def pack_windows(seq, indices, capacity=None, out=None, metas=None):
     ``seq.window``. Pass ``out`` (a dict of C-contiguous (T, capacity)
     arrays of compatible dtypes, plus ``count`` (T,)) to pack in place —
     the batched runner hands in views of its (N, T, E) buffers to avoid a
-    second copy. Pass ``metas`` (the ``seq.window`` dicts for ``indices``,
+    second copy; pass ``out_zeroed=False`` when those buffers are reused
+    across chunks (a buffer pool) so row tails get cleared of stale events
+    (the native packer always clears tails; this flag covers the numpy
+    fallback). Pass ``metas`` (the ``seq.window`` dicts for ``indices``,
     in order) to skip recomputing the window metadata the eval loops
     already hold.
     """
@@ -85,7 +89,7 @@ def pack_windows(seq, indices, capacity=None, out=None, metas=None):
     else:
         assert out["xs"].shape == (t, capacity), (out["xs"].shape,
                                                   (t, capacity))
-        zeroed = True  # caller provides pre-zeroed buffers
+        zeroed = bool(out_zeroed)
         native_ok = native_ok and all(
             out[k].dtype == d and out[k].flags["C_CONTIGUOUS"]
             for k, d in (("xs", np.int16), ("ys", np.int16),

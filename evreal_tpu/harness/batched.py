@@ -237,15 +237,32 @@ def eval_method_on_sequence_group(dataset_name, eval_config, method_name,
     int_coords = all(np.issubdtype(seq.xy.dtype, np.integer) for seq in seqs)
     xy_dtype = np.int16 if int_coords else np.float32
 
+    # buffer pools, rotated per chunk: fresh np.zeros every chunk costs a
+    # page fault per touched page (~2x host pack time measured at ECD scale
+    # on this 1-core host). A set packed for chunk k is last referenced when
+    # chunk k is drained, i.e. right after chunk k+PIPELINE_DEPTH-1 is
+    # dispatched, so PIPELINE_DEPTH+1 sets make reuse race-free even when
+    # the CPU backend aliases numpy buffers zero-copy.
+    n_pools = min(PIPELINE_DEPTH, max(max_chunks, 1)) + 1
+    buf_pool = [
+        {"xs": np.zeros((n_pad, chunk_t, capacity), xy_dtype),
+         "ys": np.zeros((n_pad, chunk_t, capacity), xy_dtype),
+         "ts": np.zeros((n_pad, chunk_t, capacity), np.float32),
+         "ps": np.zeros((n_pad, chunk_t, capacity), np.int8),
+         "count": np.zeros((n_pad, chunk_t), np.int32)}
+        for _ in range(n_pools)]
+    refs_pool = [
+        (np.zeros((n_pad, chunk_t) + tuple(resolution), np.float32)
+         if any_images and known else None)
+        for _ in range(n_pools)]
+
     def pack_chunk(k):
-        bufs = {"xs": np.zeros((n_pad, chunk_t, capacity), xy_dtype),
-                "ys": np.zeros((n_pad, chunk_t, capacity), xy_dtype),
-                "ts": np.zeros((n_pad, chunk_t, capacity), np.float32),
-                "ps": np.zeros((n_pad, chunk_t, capacity), np.int8)}
-        bufs["count"] = np.zeros((n_pad, chunk_t), np.int32)
+        bufs = buf_pool[k % n_pools]
+        # ended/padding lanes must voxelize as zero-event windows, not as
+        # whatever this set held PIPELINE_DEPTH chunks ago
+        bufs["count"][:] = 0
         chunk_info = []
-        refs = (np.zeros((n_pad, chunk_t) + tuple(resolution), np.float32)
-                if any_images and known else None)
+        refs = refs_pool[k % n_pools]
         for j, (seq, proc) in enumerate(zip(seqs, procs)):
             idxs = proc[k * chunk_t:(k + 1) * chunk_t]
             chunk_info.append(idxs)
@@ -255,7 +272,8 @@ def eval_method_on_sequence_group(dataset_name, eval_config, method_name,
             views = {key: bufs[key][j, :t] for key in
                      ("xs", "ys", "ts", "ps", "count")}
             pack_windows(seq, idxs, capacity=capacity, out=views,
-                         metas=[metas_all[j][i] for i in idxs])
+                         metas=[metas_all[j][i] for i in idxs],
+                         out_zeroed=False)
             if refs is not None and seq.has_images:
                 for r, i in enumerate(idxs):
                     refs[j, r] = seq.frame(metas_all[j][i]["frame_index"])

@@ -395,6 +395,19 @@ def eval_method_on_sequence(dataset_name, eval_config, method_name, bundle,
     # device crunches chunk k+1..k+PIPELINE_DEPTH while the host writes chunk
     # k's files. Depth bounds device memory for long sequences. Per-chunk
     # tunnel round-trip latency (~100s of ms on axon) is hidden this way.
+    #
+    # Event buffers come from a rotated pool (see the batched runner for the
+    # sizing argument): fresh per-chunk allocations cost a page fault per
+    # touched page on this 1-core host.
+    n_pools = PIPELINE_DEPTH + 1
+    xy_dtype = (np.int16 if np.issubdtype(seq.xy.dtype, np.integer)
+                else np.float32)
+    buf_pool = [{"xs": np.zeros((chunk_t, capacity), xy_dtype),
+                 "ys": np.zeros((chunk_t, capacity), xy_dtype),
+                 "ts": np.zeros((chunk_t, capacity), np.float32),
+                 "ps": np.zeros((chunk_t, capacity), np.int8),
+                 "count": np.zeros((chunk_t,), np.int32)}
+                for _ in range(n_pools)]
     def drain(entry):
         chunk, metas, tensors, refs = entry
         if color:
@@ -452,11 +465,14 @@ def eval_method_on_sequence(dataset_name, eval_config, method_name, bundle,
     pending = []
     timer = DeviceTimer(method_name, frames=max(len(proc), 1))
     timer.__enter__()
-    for c0 in range(0, len(proc), chunk_t):
+    for ci, c0 in enumerate(range(0, len(proc), chunk_t)):
         chunk = proc[c0:c0 + chunk_t]
-        buffers, metas = pack_windows(seq, chunk, capacity=capacity,
-                                      metas=[metas_all[i] for i in chunk])
         valid_t = len(chunk)
+        views = {key: arr[:valid_t]
+                 for key, arr in buf_pool[ci % n_pools].items()}
+        buffers, metas = pack_windows(seq, chunk, capacity=capacity,
+                                      out=views, out_zeroed=False,
+                                      metas=[metas_all[i] for i in chunk])
         if valid_t < chunk_t:  # pad last chunk to the compiled T
             for key in ("xs", "ys", "ts", "ps"):
                 buffers[key] = np.pad(
