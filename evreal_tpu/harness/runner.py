@@ -111,11 +111,21 @@ def matmul_precision_ctx(dtype=jnp.float32):
     CPU f32, while 'highest' stays at 4e-5 — and eval-scale convs are not
     MXU-bound, so the cost is nil (bench: within tunnel noise). Strict-parity
     f32 mode therefore pins 'highest'; bf16 mode keeps the backend default
-    (precision is the explicit trade there)."""
+    (precision is the explicit trade there).
+
+    ``EVREAL_PRECISION`` overrides the f32 pin (highest | high | default):
+    'high' is a 3-pass bf16 scheme. Measured (throttled chip state): E2VID
+    batched pipeline within noise, ET-Net ~5% — these pipelines are not
+    MXU-pass-bound, so the knob is an experiment lever, not a speed lever;
+    use EVREAL_DTYPE=bfloat16 for the real precision/speed trade."""
     import contextlib
 
     if dtype == jnp.float32:
-        return jax.default_matmul_precision("highest")
+        prec = os.environ.get("EVREAL_PRECISION", "highest")
+        if prec not in ("highest", "high", "default"):
+            raise ValueError(f"EVREAL_PRECISION={prec!r}: expected "
+                             "highest|high|default")
+        return jax.default_matmul_precision(prec)
     return contextlib.nullcontext()
 
 

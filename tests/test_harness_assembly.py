@@ -216,3 +216,22 @@ def test_missing_checkpoint_is_contained(tmp_path, monkeypatch, capsys):
     assert out == []
     printed = capsys.readouterr().out
     assert "Exception while getting method GhostNet" in printed
+
+
+def test_matmul_precision_env_knob(monkeypatch):
+    import contextlib
+
+    import jax.numpy as jnp
+    import pytest
+
+    from evreal_tpu.harness.runner import matmul_precision_ctx
+
+    monkeypatch.setenv("EVREAL_PRECISION", "high")
+    with matmul_precision_ctx(jnp.float32):
+        pass  # context enters/exits cleanly at the overridden precision
+    monkeypatch.setenv("EVREAL_PRECISION", "fastest")
+    with pytest.raises(ValueError, match="EVREAL_PRECISION"):
+        matmul_precision_ctx(jnp.float32)
+    # bf16 mode ignores the knob entirely (backend default precision)
+    assert isinstance(matmul_precision_ctx(jnp.bfloat16),
+                      contextlib.nullcontext)
