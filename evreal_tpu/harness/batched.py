@@ -184,6 +184,30 @@ def eval_method_on_sequence_group(dataset_name, eval_config, method_name,
     known = [s.name for s in specs]
     no_ref_names = tuple(s.name for s in specs if s.no_ref)
 
+    from evreal_tpu.metrics.tracker import load_completed, resume_enabled
+
+    if resume_enabled():
+        finished, keep = {}, []
+        for i, (s, seq) in enumerate(zip(sequences, seqs)):
+            output_dir = os.path.join("outputs", eval_config["name"],
+                                      dataset_name, s["name"], method_name)
+            expected = (known if seq.has_images
+                        else [m for m in known if m in no_ref_names])
+            done = load_completed(output_dir, expected)
+            if done is not None:
+                print(f"Skipping finished {output_dir} (EVREAL_RESUME)")
+                finished[i] = done
+            else:
+                keep.append(i)
+        if finished:
+            sub = (eval_method_on_sequence_group(
+                dataset_name, eval_config, method_name, bundle,
+                method_config, [sequences[i] for i in keep], metrics)
+                if keep else [])
+            for j, i in enumerate(keep):
+                finished[i] = sub[j]
+            return [finished[i] for i in range(len(sequences))]
+
     trackers, procs, metas_all = [], [], []
     for s, seq in zip(sequences, seqs):
         output_dir = os.path.join("outputs", eval_config["name"],

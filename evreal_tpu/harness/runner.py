@@ -364,6 +364,16 @@ def eval_method_on_sequence(dataset_name, eval_config, method_name, bundle,
     known = [s.name for s in specs]
     no_ref_names = tuple(s.name for s in specs if s.no_ref)
 
+    from evreal_tpu.metrics.tracker import load_completed, resume_enabled
+
+    if resume_enabled():
+        expected = (known if seq.has_images
+                    else [m for m in known if m in no_ref_names])
+        done = load_completed(output_dir, expected)
+        if done is not None:
+            print(f"Skipping finished {output_dir} (EVREAL_RESUME)")
+            return done
+
     tracker = EvalMetricsTracker(
         save_images=save_images,
         save_processed_images=save_images and hist_eq != "none",

@@ -24,6 +24,32 @@ from evreal_tpu.harness.outputs import (
 import numpy as np
 
 
+def resume_enabled():
+    """EVREAL_RESUME=1: finished (config, dataset, sequence, method) output
+    dirs — marked by the done.json record finalize writes — are skipped and
+    their recorded scores reused. A capability the reference lacks (it
+    truncates all outputs on every run, eval_metrics.py:315-324)."""
+    return os.environ.get("EVREAL_RESUME", "0").lower() in ("1", "true",
+                                                            "yes")
+
+
+def load_completed(output_dir, expected_metrics):
+    """(num_evaluated, mean_scores) from a prior finished run covering
+    ``expected_metrics``, else None."""
+    import json
+
+    try:
+        with open(os.path.join(output_dir, "done.json"),
+                  encoding="utf-8") as f:
+            data = json.load(f)
+        if not set(expected_metrics) <= set(data["metrics"]):
+            return None
+        return int(data["num_evaluated"]), {
+            m: float(data["mean_scores"][m]) for m in expected_metrics}
+    except (OSError, ValueError, KeyError, TypeError):
+        return None
+
+
 class MetricTracker:
     def __init__(self):
         self.data = {}
@@ -90,12 +116,21 @@ class EvalMetricsTracker:
         if self.save_processed_images:
             self.processed_output_dir = self.output_dir + "_processed"
             ensure_dir(self.processed_output_dir)
+        # a fresh run invalidates any completion record first, so an
+        # interrupted rerun can't leave a stale done.json over truncated txts
+        try:
+            os.remove(self._done_path())
+        except OSError:
+            pass
         truncate(self._ts_path())
         for m in self.metric_names:
             truncate(self._metric_path(m))
 
     def _ts_path(self):
         return os.path.join(self.output_dir, "timestamps.txt")
+
+    def _done_path(self):
+        return os.path.join(self.output_dir, "done.json")
 
     def _metric_path(self, name):
         return os.path.join(self.output_dir, name + ".txt")
@@ -173,6 +208,14 @@ class EvalMetricsTracker:
             for f in self._files.values():
                 f.close()
             self._files = {}
+        # completion record for EVREAL_RESUME: written only once every
+        # frame's files are flushed, so its presence implies a finished run
+        import json
+
+        with open(self._done_path(), "w", encoding="utf-8") as f:
+            json.dump({"num_evaluated": self.get_num_quan_evaluations(),
+                       "mean_scores": self.get_mean_scores(),
+                       "metrics": self.metric_names}, f)
 
     def get_num_quan_evaluations(self):
         return len(self.quan_eval_indices)
