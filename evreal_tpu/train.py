@@ -8,7 +8,9 @@ reference): truncated-BPTT reconstruction training of event-video models.
 where ``batch = {"voxels": (N, T, H, W, B), "frames": (N, T, H, W)}``.
 The model is scanned over T with its recurrent state as carry, gradients flow
 through the whole chunk (with optional ``jax.checkpoint`` rematerialization to
-trade FLOPs for HBM), and the loss is per-frame MSE.
+trade FLOPs for HBM), and the loss is per-frame MSE, LPIPS (the perceptual
+loss the E2VID line of work trains with; needs converted weights,
+weights/README.md), or a weighted sum ``"mse+lpips"``.
 
 Sharding: under a Mesh the step shards the batch over ``dp``, image width
 over ``sp`` (GSPMD inserts conv halo exchanges), and wide conv kernels over
@@ -24,10 +26,24 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from evreal_tpu.parallel.mesh import batch_sharding
 
 
-def sequence_loss(model, params, voxels, frames, remat=True):
-    """Mean MSE over a scanned chunk. voxels: (N,T,H,W,B); frames: (N,T,H,W)."""
+def sequence_loss(model, params, voxels, frames, remat=True, loss="mse",
+                  lpips_weights=None, lpips_scale=1.0):
+    """Scanned-chunk loss. voxels: (N,T,H,W,B); frames: (N,T,H,W).
+
+    ``loss``: '+'-joined terms from {mse, lpips}. The LPIPS term runs the
+    metric port (metrics/lpips.py — pure jnp convs, fully differentiable)
+    on the raw model outputs (no clipping: it would zero gradients outside
+    [0,1]; the trained architectures end in a sigmoid anyway)."""
     n, t, h, w, _ = voxels.shape
     state = model.init_state(n, h, w, dtype=voxels.dtype)
+
+    parts = loss.split("+")
+    unknown = set(parts) - {"mse", "lpips"}
+    if unknown or not parts:
+        raise ValueError(f"loss={loss!r}: terms must be mse|lpips")
+    if "lpips" in parts and lpips_weights is None:
+        raise ValueError("loss includes lpips but lpips_weights is None "
+                         "(convert them with tools/convert_lpips.py)")
 
     apply_fn = model.apply
     if remat:
@@ -39,10 +55,20 @@ def sequence_loss(model, params, voxels, frames, remat=True):
 
     _, imgs = jax.lax.scan(step, state, jnp.moveaxis(voxels, 1, 0))
     imgs = jnp.moveaxis(imgs, 0, 1)  # (N, T, H, W)
-    return jnp.mean((imgs - frames) ** 2)
+    total = 0.0
+    if "mse" in parts:
+        total = total + jnp.mean((imgs - frames) ** 2)
+    if "lpips" in parts:
+        from evreal_tpu.metrics.lpips import lpips as lpips_fn
+
+        d = lpips_fn(lpips_weights, imgs.reshape(n * t, h, w),
+                     frames.reshape(n * t, h, w))
+        total = total + lpips_scale * jnp.mean(d)
+    return total
 
 
-def make_train_step(model, optimizer=None, mesh=None, remat=True):
+def make_train_step(model, optimizer=None, mesh=None, remat=True,
+                    loss="mse", lpips_weights=None, lpips_scale=1.0):
     if optimizer is None:
         optimizer = optax.adam(1e-4)
 
@@ -53,11 +79,13 @@ def make_train_step(model, optimizer=None, mesh=None, remat=True):
                 voxels, batch_sharding(mesh, voxels.ndim, 0, 3))
             frames = jax.lax.with_sharding_constraint(
                 frames, batch_sharding(mesh, frames.ndim, 0, 3))
-        loss, grads = jax.value_and_grad(
-            lambda p: sequence_loss(model, p, voxels, frames, remat))(params)
+        loss_val, grads = jax.value_and_grad(
+            lambda p: sequence_loss(model, p, voxels, frames, remat,
+                                    loss=loss, lpips_weights=lpips_weights,
+                                    lpips_scale=lpips_scale))(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+        return params, opt_state, loss_val
 
     # NOTE: no donate_argnums — buffer donation makes device->host transfers
     # of the program's outputs fail with INVALID_ARGUMENT on the axon TPU

@@ -82,6 +82,10 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--chunk-t", type=int, default=8)
     ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--loss", default="mse",
+                    help="'+'-joined terms from {mse, lpips} (lpips needs "
+                         "converted weights, weights/README.md)")
+    ap.add_argument("--lpips-scale", type=float, default=1.0)
     ap.add_argument("--num-bins", type=int, default=5)
     ap.add_argument("--mesh", action="store_true",
                     help="shard over all local devices (dp/sp/tp)")
@@ -119,7 +123,18 @@ def main(argv=None):
     if args.mesh and len(jax.devices()) > 1:
         mesh = make_mesh(len(jax.devices()), axes=("dp", "sp", "tp"))
         params = shard_params(mesh, params)
-    step_fn, opt = make_train_step(model, optax.adam(args.lr), mesh=mesh)
+    lpips_weights = None
+    if "lpips" in args.loss.split("+"):
+        from evreal_tpu.metrics import lpips as lpips_mod
+
+        if not lpips_mod.weights_available():
+            raise SystemExit("--loss includes lpips but converted weights "
+                             "are missing (tools/convert_lpips.py)")
+        lpips_weights = lpips_mod.load_weights()
+    step_fn, opt = make_train_step(model, optax.adam(args.lr), mesh=mesh,
+                                   loss=args.loss,
+                                   lpips_weights=lpips_weights,
+                                   lpips_scale=args.lpips_scale)
     opt_state = opt.init(params)
 
     os.makedirs(args.out, exist_ok=True)

@@ -91,3 +91,42 @@ def test_mesh_factorization():
         "dp": 2, "sp": 2, "tp": 2}
     assert dict(make_mesh(4, ("dp", "sp"), CPU).shape) == {"dp": 2, "sp": 2}
     assert dict(make_mesh(1, ("dp", "sp"), CPU).shape) == {"dp": 1, "sp": 1}
+
+
+def test_perceptual_loss_trains():
+    """mse+lpips: differentiable through the LPIPS port, loss decreases."""
+    import pytest
+
+    from evreal_tpu.train import sequence_loss
+
+    from .test_lpips_parity import _random_weights
+
+    model = build_model("FireNet", {"num_bins": 5, "base_num_channels": 8,
+                                    "kernel_size": 3})
+    params = jax.tree.map(np.asarray, init_firenet(base_num_channels=8))
+    w = {k: (v.transpose(2, 3, 1, 0) if v.ndim == 4 else v)
+         for k, v in _random_weights(np.random.default_rng(3)).items()}
+    step, opt = make_train_step(model, optax.adam(1e-3), loss="mse+lpips",
+                                lpips_weights=w, lpips_scale=0.5)
+    opt_state = opt.init(params)
+    batch = _firenet_batch(1, 2, 48, 64, seed=2)
+    losses = []
+    for _ in range(4):
+        params, opt_state, loss = step(params, opt_state, batch)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+    # pure-lpips differs from pure-mse on the same params
+    a = sequence_loss(model, params, batch["voxels"], batch["frames"],
+                      remat=False, loss="lpips", lpips_weights=w)
+    b = sequence_loss(model, params, batch["voxels"], batch["frames"],
+                      remat=False, loss="mse")
+    assert float(a) != pytest.approx(float(b))
+
+    with pytest.raises(ValueError, match="lpips_weights"):
+        sequence_loss(model, params, batch["voxels"], batch["frames"],
+                      loss="lpips")
+    with pytest.raises(ValueError, match="terms"):
+        sequence_loss(model, params, batch["voxels"], batch["frames"],
+                      loss="mse+ssim")
