@@ -273,3 +273,19 @@ def test_registry_gating(tmp_path, monkeypatch, model_and_params):
     val = float(spec.fn(jnp.asarray(rng.uniform(size=(64, 240))
                                     .astype(np.float32))))
     assert np.isfinite(val)
+
+
+def test_maniqa_through_harness_vmap(model_and_params):
+    """The registered fn must trace under the runner's chunk-vmap
+    (runner.metric_scores vmaps NR metrics over (T, H, W))."""
+    import jax
+
+    _, params = model_and_params
+    fn = lambda img: m.maniqa(params, img, n_crops=2, window_size=WS)  # noqa: E731
+    rng = np.random.default_rng(4)
+    chunk = jnp.asarray(rng.uniform(size=(3, 180, 240)).astype(np.float32))
+    vals = np.asarray(jax.jit(jax.vmap(fn))(chunk))
+    assert vals.shape == (3,) and np.isfinite(vals).all()
+    # matches per-frame evaluation
+    solo = np.array([float(fn(chunk[i])) for i in range(3)])
+    np.testing.assert_allclose(vals, solo, atol=1e-5)
