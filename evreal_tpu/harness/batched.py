@@ -148,11 +148,22 @@ class BatchedRunner:
 
                 with matmul_precision_ctx():
                     vv = lambda f: jax.vmap(jax.vmap(f))
+                    n, t = imgs.shape[:2]
+
+                    def smap(f, *arrs):  # serial over N*T frames
+                        flat = [a.reshape((n * t,) + a.shape[2:])
+                                for a in arrs]
+                        r = jax.lax.map(lambda xs: f(*xs), tuple(flat)) \
+                            if len(flat) > 1 else jax.lax.map(f, flat[0])
+                        return r.reshape(n, t)
+
                     out = {}
                     for s in fr:
-                        out[s.name] = vv(s.fn)(imgs, refs)
+                        out[s.name] = (smap(s.fn, imgs, refs) if s.serial
+                                       else vv(s.fn)(imgs, refs))
                     for s in nr:
-                        out[s.name] = vv(s.fn)(imgs)
+                        out[s.name] = (smap(s.fn, imgs) if s.serial
+                                       else vv(s.fn)(imgs))
                     return out
 
             self._metric_fns[key] = mfn

@@ -286,9 +286,14 @@ class MethodRunner:
                 with matmul_precision_ctx():
                     out = {}
                     for s in fr:
-                        out[s.name] = jax.vmap(s.fn)(imgs, refs)
+                        if s.serial:  # frame-at-a-time, bounds peak memory
+                            out[s.name] = jax.lax.map(
+                                lambda ab, f=s.fn: f(*ab), (imgs, refs))
+                        else:
+                            out[s.name] = jax.vmap(s.fn)(imgs, refs)
                     for s in nr:
-                        out[s.name] = jax.vmap(s.fn)(imgs)
+                        out[s.name] = (jax.lax.map(s.fn, imgs) if s.serial
+                                       else jax.vmap(s.fn)(imgs))
                     return out
 
             self._metric_fns[key] = mfn

@@ -339,5 +339,5 @@ def register_if_available():
     register("maniqa",
              lambda img: maniqa(params, img, n_crops=n_crops,
                                 window_size=window, scale=scale),
-             no_ref=True)
+             no_ref=True, serial=True)
     return True

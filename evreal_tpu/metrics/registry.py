@@ -24,13 +24,18 @@ class MetricSpec:
     name: str
     fn: object  # jittable callable
     no_ref: bool = False
+    # serial=True: evaluate frames with lax.map instead of vmap — for
+    # metrics whose per-frame memory is large (MANIQA's 20-crop ViT-B/8
+    # would need ~19 GB of attention activations vmapped over a 32-frame
+    # chunk; mapped it peaks at one frame's ~0.6 GB)
+    serial: bool = False
 
 
 _REGISTRY = {}
 
 
-def register(name, fn, no_ref=False):
-    _REGISTRY[name.lower()] = MetricSpec(name.lower(), fn, no_ref)
+def register(name, fn, no_ref=False, serial=False):
+    _REGISTRY[name.lower()] = MetricSpec(name.lower(), fn, no_ref, serial)
 
 
 def names():

@@ -213,3 +213,50 @@ def test_eval_is_deterministic(tmp_path, monkeypatch, tmp_path_factory):
     assert texts[0] == texts[1]
     assert set(texts[0]) == {"timestamps.txt", "mse.txt", "ssim.txt",
                              "event_rate.txt"}
+
+
+def test_serial_metric_matches_vmapped(nogt_dir, tmp_path, monkeypatch):
+    """serial=True metrics (lax.map over frames, for memory-heavy nets like
+    MANIQA) must produce the same per-frame scores as the vmap path, in both
+    the single-sequence and the batched lockstep runners."""
+    monkeypatch.chdir(tmp_path)
+    registry._ensure_builtins()
+    fn = lambda img: (img * img).mean() + img[0, 0]  # noqa: E731
+    registry.register("m_v", fn, no_ref=True)
+    registry.register("m_s", fn, no_ref=True, serial=True)
+    try:
+        from evreal_tpu.data import Sequence
+        from evreal_tpu.harness.batched import eval_method_on_sequence_group
+
+        vm = {"method": "t_seconds", "t": 0.05, "sliding_window_t": 0}
+        eval_config = {"name": "t50ms", "save_images": False,
+                       "histeq": "none", "eval_infer_all": False,
+                       "ts_tol_ms": 1.0, "create_video": False}
+        method_config = {"model_name": "FireNet+",
+                         "event_tensor_normalization": False,
+                         "post_process_norm": "none"}
+
+        def seqdict():
+            seq = Sequence(nogt_dir, num_bins=5, voxel_method=vm)
+            t0, t1 = seq.get_min_max_t()
+            return {"name": "hdr0", "dataset": seq,
+                    "start_time_s": t0, "end_time_s": t1}
+
+        _, scores = eval_method_on_sequence(
+            "HDR", eval_config, "FireNet+", FakeBundle("FireNet+"),
+            method_config, seqdict(), ["m_v", "m_s"])
+        assert scores["m_s"] == pytest.approx(scores["m_v"], abs=1e-6)
+        single = open(os.path.join("outputs", "t50ms", "HDR", "hdr0",
+                                   "FireNet+", "m_s.txt")).read()
+        vmapped = open(os.path.join("outputs", "t50ms", "HDR", "hdr0",
+                                    "FireNet+", "m_v.txt")).read()
+        assert single.replace("m_s", "") == vmapped.replace("m_v", "")
+
+        [(n_b, scores_b)] = eval_method_on_sequence_group(
+            "HDR", eval_config, "FireNet+", FakeBundle("FireNet+"),
+            method_config, [seqdict()], ["m_v", "m_s"])
+        assert scores_b["m_s"] == pytest.approx(scores_b["m_v"], abs=1e-6)
+        assert scores_b["m_s"] == pytest.approx(scores["m_s"], abs=1e-5)
+    finally:
+        registry._REGISTRY.pop("m_v", None)
+        registry._REGISTRY.pop("m_s", None)
