@@ -195,8 +195,13 @@ def eval_method_on_sequence_group(dataset_name, eval_config, method_name,
     known = [s.name for s in specs]
     no_ref_names = tuple(s.name for s in specs if s.no_ref)
 
-    from evreal_tpu.metrics.tracker import load_completed, resume_enabled
+    from evreal_tpu.metrics.tracker import (
+        load_completed,
+        resume_enabled,
+        resume_settings,
+    )
 
+    settings = resume_settings(eval_config)
     if resume_enabled():
         finished, keep = {}, []
         for i, (s, seq) in enumerate(zip(sequences, seqs)):
@@ -204,7 +209,7 @@ def eval_method_on_sequence_group(dataset_name, eval_config, method_name,
                                       dataset_name, s["name"], method_name)
             expected = (known if seq.has_images
                         else [m for m in known if m in no_ref_names])
-            done = load_completed(output_dir, expected)
+            done = load_completed(output_dir, expected, settings)
             if done is not None:
                 print(f"Skipping finished {output_dir} (EVREAL_RESUME)")
                 finished[i] = done
@@ -232,7 +237,7 @@ def eval_method_on_sequence_group(dataset_name, eval_config, method_name,
             quan_eval_end_time=s["end_time_s"],
             quan_eval_ts_tol_ms=eval_config["ts_tol_ms"],
             has_reference_frames=seq.has_images,
-            no_ref_metric_names=no_ref_names))
+            no_ref_metric_names=no_ref_names, run_settings=settings))
         metas = seq.windows()
         proc = []
         for i, m in enumerate(metas):

@@ -369,12 +369,17 @@ def eval_method_on_sequence(dataset_name, eval_config, method_name, bundle,
     known = [s.name for s in specs]
     no_ref_names = tuple(s.name for s in specs if s.no_ref)
 
-    from evreal_tpu.metrics.tracker import load_completed, resume_enabled
+    from evreal_tpu.metrics.tracker import (
+        load_completed,
+        resume_enabled,
+        resume_settings,
+    )
 
+    settings = resume_settings(eval_config)
     if resume_enabled():
         expected = (known if seq.has_images
                     else [m for m in known if m in no_ref_names])
-        done = load_completed(output_dir, expected)
+        done = load_completed(output_dir, expected, settings)
         if done is not None:
             print(f"Skipping finished {output_dir} (EVREAL_RESUME)")
             return done
@@ -388,7 +393,7 @@ def eval_method_on_sequence(dataset_name, eval_config, method_name, bundle,
         quan_eval_end_time=sequence["end_time_s"],
         quan_eval_ts_tol_ms=eval_config["ts_tol_ms"],
         has_reference_frames=seq.has_images, color=color,
-        no_ref_metric_names=no_ref_names)
+        no_ref_metric_names=no_ref_names, run_settings=settings)
 
     eval_infer_all = eval_config.get("eval_infer_all", False)
     start, end = sequence["start_time_s"], sequence["end_time_s"]

@@ -327,17 +327,25 @@ def maniqa(params, img, n_crops=20, seed=0, window_size=4, scale=0.8):
 
 
 def register_if_available():
-    """Register 'maniqa' (device-side, weights-gated like LPIPS)."""
+    """Register 'maniqa' (device-side, weights-gated like LPIPS). The
+    ~400 MB ViT-B/8 weight file is loaded lazily at the metric's first
+    trace, not at registration — registration happens for every process
+    that resolves any metric (registry._ensure_builtins) on a 1-core host."""
     if not params_available():
         return False
     from evreal_tpu.metrics.registry import register
 
-    params = load_params()
-    scale = float(params.pop("_meta_scale", 0.8))
-    window = int(params.pop("_meta_window", 4))
-    n_crops = int(os.environ.get("EVREAL_MANIQA_CROPS", "20"))
-    register("maniqa",
-             lambda img: maniqa(params, img, n_crops=n_crops,
-                                window_size=window, scale=scale),
-             no_ref=True, serial=True)
+    cache = {}
+
+    def fn(img):
+        if not cache:
+            params = load_params()
+            cache["scale"] = float(params.pop("_meta_scale", 0.8))
+            cache["window"] = int(params.pop("_meta_window", 4))
+            cache["params"] = params
+        n_crops = int(os.environ.get("EVREAL_MANIQA_CROPS", "20"))
+        return maniqa(cache["params"], img, n_crops=n_crops,
+                      window_size=cache["window"], scale=cache["scale"])
+
+    register("maniqa", fn, no_ref=True, serial=True)
     return True

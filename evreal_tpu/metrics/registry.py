@@ -55,8 +55,12 @@ def resolve(metric_names):
     for m in metric_names:
         key = m.lower()
         if key in gated and key not in _REGISTRY:
-            print(f"{key} weights unavailable (see {gated[key]}); "
-                  f"skipping {key}")
+            if key in ("niqe", "brisque") and _nr_import_error is not None:
+                print(f"{key} unavailable: {_nr_import_error} "
+                      f"(scipy is required); skipping {key}")
+            else:
+                print(f"{key} weights unavailable (see {gated[key]}); "
+                      f"skipping {key}")
             continue
         spec = _REGISTRY.get(key)
         if spec is None:
@@ -67,6 +71,7 @@ def resolve(metric_names):
 
 
 _builtins_done = False
+_nr_import_error = None
 
 
 def _ensure_builtins():
@@ -85,10 +90,12 @@ def _ensure_builtins():
     from evreal_tpu.metrics import maniqa as maniqa_mod
 
     maniqa_mod.register_if_available()
+    global _nr_import_error
     try:
         from evreal_tpu.metrics import brisque as brisque_mod
         from evreal_tpu.metrics import niqe as niqe_mod
-    except ImportError:  # scipy missing: NR metrics unavailable
+    except ImportError as e:  # scipy missing: NR metrics unavailable
+        _nr_import_error = e
         return
     niqe_mod.register_if_available()
     brisque_mod.register_if_available()

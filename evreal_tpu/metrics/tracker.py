@@ -33,9 +33,22 @@ def resume_enabled():
                                                             "yes")
 
 
-def load_completed(output_dir, expected_metrics):
+def resume_settings(eval_config):
+    """The output-affecting eval-config subset recorded in done.json: a
+    rerun whose settings differ (e.g. save_images newly on) must re-run,
+    not skip — its PNGs/videos were never produced."""
+    return {"save_images": eval_config.get("save_images", True),
+            "histeq": eval_config.get("histeq", "none"),
+            "create_video": eval_config.get("create_video", False),
+            "eval_infer_all": eval_config.get("eval_infer_all", False),
+            "color": eval_config.get("color", False),
+            "ts_tol_ms": eval_config.get("ts_tol_ms", float("inf"))}
+
+
+def load_completed(output_dir, expected_metrics, settings=None):
     """(num_evaluated, mean_scores) from a prior finished run covering
-    ``expected_metrics``, else None."""
+    ``expected_metrics`` under the same output-affecting ``settings``,
+    else None."""
     import json
 
     try:
@@ -43,6 +56,8 @@ def load_completed(output_dir, expected_metrics):
                   encoding="utf-8") as f:
             data = json.load(f)
         if not set(expected_metrics) <= set(data["metrics"]):
+            return None
+        if settings is not None and data.get("settings") != settings:
             return None
         return int(data["num_evaluated"]), {
             m: float(data["mean_scores"][m]) for m in expected_metrics}
@@ -86,7 +101,7 @@ class EvalMetricsTracker:
                  output_dir=None, hist_eq="none", quan_eval_metric_names=None,
                  quan_eval_start_time=0, quan_eval_end_time=float("inf"),
                  quan_eval_ts_tol_ms=float("inf"), has_reference_frames=False,
-                 color=False, no_ref_metric_names=()):
+                 color=False, no_ref_metric_names=(), run_settings=None):
         self.save_images = save_images
         self.save_processed_images = save_processed_images and hist_eq != "none"
         self.output_dir = output_dir
@@ -104,6 +119,7 @@ class EvalMetricsTracker:
                                  if m in self.no_ref_names]
         self.only_no_ref = all(m in self.no_ref_names
                                for m in self.metric_names)
+        self.run_settings = run_settings
         self.scores = {m: [] for m in self.metric_names}
         self.quan_eval_indices = []
         self._files = {}
@@ -215,7 +231,8 @@ class EvalMetricsTracker:
         with open(self._done_path(), "w", encoding="utf-8") as f:
             json.dump({"num_evaluated": self.get_num_quan_evaluations(),
                        "mean_scores": self.get_mean_scores(),
-                       "metrics": self.metric_names}, f)
+                       "metrics": self.metric_names,
+                       "settings": self.run_settings}, f)
 
     def get_num_quan_evaluations(self):
         return len(self.quan_eval_indices)

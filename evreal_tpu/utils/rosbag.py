@@ -202,12 +202,20 @@ def _record(header_fields, data):
 
 def _read_record(f):
     lenbuf = f.read(4)
+    if len(lenbuf) == 0:
+        return None  # clean end of file / chunk
     if len(lenbuf) < 4:
-        return None
+        raise ValueError("truncated bag: partial record length")
     (hlen,) = _U32.unpack(lenbuf)
-    header = _parse_fields(f.read(hlen))
-    (dlen,) = _U32.unpack(f.read(4))
+    hdr = f.read(hlen)
+    dlenbuf = f.read(4)
+    if len(hdr) < hlen or len(dlenbuf) < 4:
+        raise ValueError("truncated bag: partial record header")
+    header = _parse_fields(hdr)
+    (dlen,) = _U32.unpack(dlenbuf)
     data = f.read(dlen)
+    if len(data) < dlen:
+        raise ValueError("truncated bag: partial record data")
     return header, data
 
 
@@ -364,6 +372,7 @@ class Bag:
             raise IOError("bag opened for writing")
         if isinstance(topics, str):
             topics = [topics]
+        self._file.seek(len(_MAGIC))  # rosbag.Bag supports repeated reads
         conns = {}
         while True:
             rec = _read_record(self._file)

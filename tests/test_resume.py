@@ -127,3 +127,28 @@ def test_group_partial_resume(seq_dirs, tmp_path, monkeypatch, capsys):
         _sequences(seq_dirs), ["mse", "ssim"])
     assert capsys.readouterr().out.count("Skipping finished") == 2
     assert [n for n, _ in third] == [n for n, _ in full]
+
+
+def test_changed_settings_invalidate_resume(seq_dirs, tmp_path, monkeypatch,
+                                            capsys):
+    """A rerun with different output-affecting settings (save_images newly
+    on) must re-run, not skip — its PNGs were never produced."""
+    monkeypatch.chdir(tmp_path)
+    bundle = FakeBundle("FireNet+")
+    seq = _sequences(seq_dirs)[0]
+    cfg_off = dict(EVAL_CONFIG, save_images=False)
+    eval_method_on_sequence("SYNS", cfg_off, "FireNet+", bundle,
+                            METHOD_CONFIG, seq, ["mse"])
+    monkeypatch.setenv("EVREAL_RESUME", "1")
+    cfg_on = dict(EVAL_CONFIG, save_images=True)
+    capsys.readouterr()
+    eval_method_on_sequence("SYNS", cfg_on, "FireNet+", bundle,
+                            METHOD_CONFIG, seq, ["mse"])
+    assert "Skipping finished" not in capsys.readouterr().out
+    out_dir = tmp_path / "outputs/std/SYNS/seq0/FireNet+"
+    assert list(out_dir.glob("frame_*.png"))  # images really were produced
+    # now the record matches the new settings: a rerun does skip
+    capsys.readouterr()
+    eval_method_on_sequence("SYNS", cfg_on, "FireNet+", bundle,
+                            METHOD_CONFIG, seq, ["mse"])
+    assert "Skipping finished" in capsys.readouterr().out

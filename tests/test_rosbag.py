@@ -11,6 +11,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 from evreal_tpu.utils import rosbag as rb
 
@@ -206,3 +207,33 @@ def test_images_to_rosbag_cli(tmp_path):
             np.frombuffer(msg.data, np.uint8).reshape(8, 12), frames[i])
         # frame index + '00' pseudo-nanoseconds (reference stamp scheme)
         assert (t.secs, t.nsecs) == (0, i * 100)
+
+
+def test_repeated_reads_and_truncation(tmp_path):
+    path = str(tmp_path / "rr.bag")
+    with rb.Bag(path, "w") as bag:
+        for i in range(3):
+            bag.write("/cam", _image_msg(i), rb.Time(i, 0))
+    bag = rb.Bag(path)
+    first = [t.secs for _, _, t in bag.read_messages()]
+    second = [t.secs for _, _, t in bag.read_messages()]
+    assert first == second == [0, 1, 2]  # rosbag.Bag allows repeated reads
+
+    # a bag truncated mid-record raises a clear error, not struct garbage
+    raw = open(path, "rb").read()
+    trunc = str(tmp_path / "trunc.bag")
+    open(trunc, "wb").write(raw[:len(raw) - 7])
+    with pytest.raises(ValueError, match="truncated bag"):
+        list(rb.Bag(trunc).read_messages())
+
+
+def test_bag_to_npy_wrong_topic_message(tmp_path):
+    import bag_to_npy as b2n
+
+    path = str(tmp_path / "seq.bag")
+    with rb.Bag(path, "w") as bag:
+        bag.write("/dvs/image_raw", _image_msg(0), rb.Time(1, 0))
+    out = tmp_path / "seq"
+    out.mkdir()
+    with pytest.raises(ValueError, match="no events on topic"):
+        b2n.bag_to_npy(path, str(out), "/wrong/topic", "/dvs/image_raw")

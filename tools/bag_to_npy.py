@@ -67,9 +67,17 @@ def bag_to_npy(bag_path, output_path, event_topic, image_topic):
             images.append(img)
     bag.close()
 
-    events_ts = np.concatenate(ts) if ts else np.empty(0)
+    if not ts or sum(len(a) for a in ts) == 0:
+        raise ValueError(
+            f"no events on topic {event_topic!r} in {bag_path} — check "
+            f"--event_topic (topics present: varies per bag)")
+    if not images:
+        raise ValueError(
+            f"no images on topic {image_topic!r} in {bag_path} — check "
+            f"--image_topic")
+    events_ts = np.concatenate(ts)
     events_xy = np.stack([np.concatenate(xs), np.concatenate(ys)], -1)
-    events_p = np.concatenate(ps) if ps else np.empty(0, np.int64)
+    events_p = np.concatenate(ps)
     images = np.stack(images)[..., None]
     images_ts = np.array(images_ts)
 
