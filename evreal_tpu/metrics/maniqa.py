@@ -49,11 +49,12 @@ def params_available(path=None):
 
 
 def load_params(path=None):
-    import jax.numpy as jnp
-
+    """Plain numpy arrays (not jnp): the registered metric loads lazily at
+    first trace, and inside a trace host scalars must stay concrete —
+    numpy weights embed as constants when the ops consume them."""
     data = np.load(path or os.environ.get("EVREAL_MANIQA_PARAMS",
                                           DEFAULT_PARAMS))
-    return {k: jnp.asarray(data[k]) for k in data.files}
+    return {k: data[k] for k in data.files}
 
 
 # ---------------------------------------------------------------------------
