@@ -138,13 +138,20 @@ class BatchedRunner:
         """(N, T, H, W) images [vs refs] -> {name: (N, T)} device arrays."""
         specs = self._validate_specs(specs, tuple(clipped.shape[2:]))
         key = tuple(s.name for s in specs)
+        # weights flow through the jit boundary as runtime arguments, not
+        # closure constants (registry module docstring)
+        aux = {s.name: s.loaded() for s in specs if s.params is not None}
         if key not in self._metric_fns:
             fr = [s for s in specs if not s.no_ref]
             nr = [s for s in specs if s.no_ref]
 
             @jax.jit
-            def mfn(imgs, refs):
+            def mfn(imgs, refs, aux):
                 from evreal_tpu.harness.runner import matmul_precision_ctx
+
+                def bind(s):
+                    return ((lambda *a, s=s: s.fn(aux[s.name], *a))
+                            if s.params is not None else s.fn)
 
                 with matmul_precision_ctx():
                     vv = lambda f: jax.vmap(jax.vmap(f))
@@ -159,15 +166,17 @@ class BatchedRunner:
 
                     out = {}
                     for s in fr:
-                        out[s.name] = (smap(s.fn, imgs, refs) if s.serial
-                                       else vv(s.fn)(imgs, refs))
+                        f = bind(s)
+                        out[s.name] = (smap(f, imgs, refs) if s.serial
+                                       else vv(f)(imgs, refs))
                     for s in nr:
-                        out[s.name] = (smap(s.fn, imgs) if s.serial
-                                       else vv(s.fn)(imgs))
+                        f = bind(s)
+                        out[s.name] = (smap(f, imgs) if s.serial
+                                       else vv(f)(imgs))
                     return out
 
             self._metric_fns[key] = mfn
-        return self._metric_fns[key](clipped, refs)
+        return self._metric_fns[key](clipped, refs, aux)
 
     def _validate_specs(self, specs, hw):
         from evreal_tpu.harness.runner import validate_metric_specs
@@ -319,10 +328,46 @@ def eval_method_on_sequence_group(dataset_name, eval_config, method_name,
                     refs[j, r] = seq.frame(metas_all[j][i]["frame_index"])
         return bufs, chunk_info, refs
 
+    dead_metrics = set()
+
+    def live(use):
+        return [s for s in use if s.name not in dead_metrics]
+
+    def probe_metrics(use, imgs_dev, refs_dev):
+        """Re-run metrics one at a time on this chunk to find which one
+        failed; offenders are dropped for the rest of the group.
+        Host-callback metrics execute nothing under trace-time validation,
+        so their failures only surface at real execution — the runtime half
+        of the reference's per-metric containment
+        (eval_metrics.py:233-242)."""
+        out = {}
+        for s in use:
+            if s.name in dead_metrics:
+                continue
+            try:
+                out[s.name] = np.asarray(
+                    runner.metric_scores([s], imgs_dev, refs_dev)[s.name])
+            except Exception as exc:  # noqa: BLE001
+                dead_metrics.add(s.name)
+                lines = str(exc).strip().splitlines()
+                print(f"Metric {s.name} failed at runtime; dropping it "
+                      f"for the rest of this group "
+                      f"({lines[-1][:200] if lines else exc})")
+        return out
+
+    def fetch_scores(scores_dev, use, imgs_dev, refs_dev):
+        # scores_dev may already be a host dict when the dispatch site
+        # contained a synchronous-backend failure via probe_metrics
+        try:
+            return {k: np.asarray(v) for k, v in scores_dev.items()}
+        except Exception:  # noqa: BLE001 — async runtime failure
+            return probe_metrics(use, imgs_dev, refs_dev)
+
     def drain(entry):
-        chunk_info, refs, images_dev, clipped_dev, scores_dev = entry
+        chunk_info, refs, images_dev, clipped_dev, scores_dev, entry_use, \
+            refs_dev = entry
         images = np.asarray(images_dev)
-        scores = ({k: np.asarray(v) for k, v in scores_dev.items()}
+        scores = (fetch_scores(scores_dev, entry_use, clipped_dev, refs_dev)
                   if scores_dev else {})
         proc_imgs = None
         if hist_eq != "none":
@@ -340,12 +385,16 @@ def eval_method_on_sequence_group(dataset_name, eval_config, method_name,
                     if refs is not None and seqs[j].has_images:
                         proc_refs[j, r] = histeq_mod.histogram_equalization(
                             np.clip(refs[j, r], 0, 1), hist_eq)
-            use = (specs if any_images
-                   else [s for s in specs if s.no_ref])
+            use = live(specs if any_images
+                       else [s for s in specs if s.no_ref])
             if use:
-                scores = {k: np.asarray(v) for k, v in runner.metric_scores(
-                    use, jnp.asarray(proc_imgs),
-                    jnp.asarray(proc_refs)).items()}
+                pi = jnp.asarray(proc_imgs)
+                pr = jnp.asarray(proc_refs)
+                try:
+                    scores = fetch_scores(runner.metric_scores(use, pi, pr),
+                                          use, pi, pr)
+                except Exception:  # noqa: BLE001 — sync-backend failure
+                    scores = probe_metrics(use, pi, pr)
         for j, idxs in enumerate(chunk_info):
             seq, tracker = seqs[j], trackers[j]
             for r, i in enumerate(idxs):
@@ -374,13 +423,28 @@ def eval_method_on_sequence_group(dataset_name, eval_config, method_name,
         bufs, chunk_info, refs = pack_chunk(k)
         state, images, clipped = runner.run(state, bufs)
         scores_dev = None
-        use = (specs if any_images
-               else [s for s in specs if s.no_ref])
+        r = None
+        use = live(specs if any_images
+                   else [s for s in specs if s.no_ref])
         if use and hist_eq == "none":
             r = (jnp.asarray(refs) if refs is not None
                  else jnp.zeros_like(clipped))
-            scores_dev = runner.metric_scores(use, clipped, r)
-        pending.append((chunk_info, refs, images, clipped, scores_dev))
+            try:
+                scores_dev = runner.metric_scores(use, clipped, r)
+            except Exception:  # noqa: BLE001 — on a synchronous backend
+                # the runtime failure surfaces at the call
+                scores_dev = probe_metrics(use, clipped, r)
+        if k == 0 and max_chunks > 1:
+            # first chunk bears all jit compiles (synchronous on host at the
+            # run()/metric_scores() calls above); sync it and restart the
+            # timer so the sample is steady-state ms/frame
+            try:
+                jax.block_until_ready((state, scores_dev))
+            except Exception:  # noqa: BLE001 — a failing host-callback
+                pass           # metric is contained at drain time instead
+            timer.exclude_warmup(sum(len(i) for i in chunk_info))
+        pending.append((chunk_info, refs, images, clipped, scores_dev, use,
+                        r))
         if len(pending) >= PIPELINE_DEPTH:
             drain(pending.pop(0))
     for entry in pending:

@@ -187,8 +187,9 @@ def validate_metric_specs(cache, specs, hw):
         if ok is None:
             img = jax.ShapeDtypeStruct(hw, jnp.float32)
             try:
-                jax.eval_shape(s.fn, img) if s.no_ref else \
-                    jax.eval_shape(s.fn, img, img)
+                fn = s.bound()
+                jax.eval_shape(fn, img) if s.no_ref else \
+                    jax.eval_shape(fn, img, img)
                 ok = True
             except Exception as e:  # noqa: BLE001 — containment
                 print(color_error(
@@ -277,27 +278,36 @@ class MethodRunner:
         eval_metrics.py:233-242)."""
         specs = self._validate_specs(specs, clipped.shape[1:])
         key = tuple(s.name for s in specs)
+        # weights flow through the jit boundary as runtime arguments, not
+        # closure constants (registry module docstring: 400 MB of inlined
+        # MANIQA constants exceeds the axon remote-compile request limit)
+        aux = {s.name: s.loaded() for s in specs if s.params is not None}
         if key not in self._metric_fns:
             fr = [s for s in specs if not s.no_ref]
             nr = [s for s in specs if s.no_ref]
 
             @jax.jit
-            def mfn(imgs, refs):
+            def mfn(imgs, refs, aux):
+                def bind(s):
+                    return ((lambda *a, s=s: s.fn(aux[s.name], *a))
+                            if s.params is not None else s.fn)
+
                 with matmul_precision_ctx():
                     out = {}
                     for s in fr:
                         if s.serial:  # frame-at-a-time, bounds peak memory
                             out[s.name] = jax.lax.map(
-                                lambda ab, f=s.fn: f(*ab), (imgs, refs))
+                                lambda ab, f=bind(s): f(*ab), (imgs, refs))
                         else:
-                            out[s.name] = jax.vmap(s.fn)(imgs, refs)
+                            out[s.name] = jax.vmap(bind(s))(imgs, refs)
                     for s in nr:
-                        out[s.name] = (jax.lax.map(s.fn, imgs) if s.serial
-                                       else jax.vmap(s.fn)(imgs))
+                        out[s.name] = (jax.lax.map(bind(s), imgs)
+                                       if s.serial
+                                       else jax.vmap(bind(s))(imgs))
                     return out
 
             self._metric_fns[key] = mfn
-        return self._metric_fns[key](clipped, refs)
+        return self._metric_fns[key](clipped, refs, aux)
 
     def _validate_specs(self, specs, hw):
         cache = getattr(self, "_spec_ok", None)
@@ -438,8 +448,56 @@ def eval_method_on_sequence(dataset_name, eval_config, method_name, bundle,
                  "ps": np.zeros((chunk_t, capacity), np.int8),
                  "count": np.zeros((chunk_t,), np.int32)}
                 for _ in range(n_pools)]
+
+    # Metric arrays always span the full compiled chunk_t (refs zero-padded,
+    # score tails ignored on host) so the jitted metric program compiles
+    # exactly once per sequence — a ragged final chunk would otherwise force
+    # a second multi-minute compile on this chip, and metrics with large
+    # embedded constants (MANIQA) would double their constant memory.
+    def pad_refs_t(r):
+        if r is None or r.shape[0] == chunk_t:
+            return r
+        out = np.zeros((chunk_t,) + r.shape[1:], r.dtype)
+        out[: r.shape[0]] = r
+        return out
+
+    dead_metrics = set()
+
+    def live(use):
+        return [s for s in use if s.name not in dead_metrics]
+
+    def probe_metrics(use, imgs_dev, refs_dev):
+        """Re-run metrics one at a time on this chunk to find which one
+        failed; offenders are dropped for the rest of the sequence.
+        Host-callback metrics (niqe/brisque) execute nothing under the
+        trace-time jax.eval_shape validation, so their errors can only
+        surface at real execution — this is the runtime half of the
+        reference's per-metric containment (eval_metrics.py:233-242)."""
+        out = {}
+        for s in use:
+            if s.name in dead_metrics:
+                continue
+            try:
+                out[s.name] = np.asarray(
+                    runner.metric_scores([s], imgs_dev, refs_dev)[s.name])
+            except Exception as exc:  # noqa: BLE001
+                dead_metrics.add(s.name)
+                lines = str(exc).strip().splitlines()
+                print(f"Metric {s.name} failed at runtime; dropping it "
+                      f"for the rest of this sequence "
+                      f"({lines[-1][:200] if lines else exc})")
+        return out
+
+    def fetch_scores(scores_dev, use, imgs_dev, refs_dev):
+        # scores_dev may already be a host dict when the dispatch site
+        # contained a synchronous-backend failure via probe_metrics
+        try:
+            return {k: np.asarray(v) for k, v in scores_dev.items()}
+        except Exception:  # noqa: BLE001 — async runtime failure
+            return probe_metrics(use, imgs_dev, refs_dev)
+
     def drain(entry):
-        chunk, metas, tensors, refs = entry
+        chunk, metas, tensors, refs, entry_use = entry
         if color:
             cimgs, gimgs = tensors
             valid_t = len(chunk)
@@ -454,13 +512,14 @@ def eval_method_on_sequence(dataset_name, eval_config, method_name, bundle,
                         else meta["event_count"] / meta["dt"])
                 tracker.save_custom_metric(i, "event_rate", rate)
             return
-        images_dev, clipped_dev, scores_dev = tensors
-        images = np.asarray(images_dev)
+        images_dev, clipped_dev, scores_dev, refs_dev = tensors
+        valid_t = len(chunk)
+        images = np.asarray(images_dev)  # full chunk; tail rows unused
         if hist_eq != "none":
             # the clipped tensor is only needed on host for hist-eq; the
             # tracker re-clips `images` itself, so the std path skips this
             # device->host transfer entirely
-            clipped_np = np.asarray(clipped_dev)
+            clipped_np = np.asarray(clipped_dev)[:valid_t]
             proc_imgs = np.stack([histeq_mod.histogram_equalization(im,
                                                                     hist_eq)
                                   for im in clipped_np])
@@ -468,16 +527,21 @@ def eval_method_on_sequence(dataset_name, eval_config, method_name, bundle,
                 np.clip(r, 0, 1), hist_eq) for r in refs])
                 if refs is not None else None)
             scores = {}
-            use = specs if refs is not None else [s for s in specs
-                                                  if s.no_ref]
+            use = live(specs if refs is not None
+                       else [s for s in specs if s.no_ref])
             if use:
-                pr = (jnp.asarray(proc_refs) if proc_refs is not None
-                      else jnp.zeros_like(jnp.asarray(proc_imgs)))
-                scores = {k: np.asarray(v) for k, v in runner.metric_scores(
-                    use, jnp.asarray(proc_imgs), pr).items()}
+                pi = jnp.asarray(pad_refs_t(proc_imgs))
+                pr = (jnp.asarray(pad_refs_t(proc_refs))
+                      if proc_refs is not None else jnp.zeros_like(pi))
+                try:
+                    scores = fetch_scores(runner.metric_scores(use, pi, pr),
+                                          use, pi, pr)
+                except Exception:  # noqa: BLE001 — sync-backend failure
+                    scores = probe_metrics(use, pi, pr)
         else:
             proc_imgs = None  # tracker clips `images` itself
-            scores = ({k: np.asarray(v) for k, v in scores_dev.items()}
+            scores = (fetch_scores(scores_dev, entry_use, clipped_dev,
+                                   refs_dev)
                       if scores_dev else {})
         for j, (i, meta) in enumerate(zip(chunk, metas)):
             frame_scores = {k: v[j] for k, v in scores.items()}
@@ -516,19 +580,36 @@ def eval_method_on_sequence(dataset_name, eval_config, method_name, bundle,
 
         if color:
             state, cimgs, gimgs = runner.run(state, buffers)
-            entry = (chunk, metas, (cimgs, gimgs), None)
+            entry = (chunk, metas, (cimgs, gimgs), None, None)
         else:
             state, images, clipped = runner.run(state, buffers)
-            images = images[:valid_t]
-            clipped = clipped[:valid_t]
             scores_dev = None
-            use = specs if refs is not None else [s for s in specs
-                                                  if s.no_ref]
+            refs_dev = None
+            use = live(specs if refs is not None
+                       else [s for s in specs if s.no_ref])
             if use and hist_eq == "none":
-                r = (jnp.asarray(refs) if refs is not None
-                     else jnp.zeros_like(clipped))
-                scores_dev = runner.metric_scores(use, clipped, r)
-            entry = (chunk, metas, (images, clipped, scores_dev), refs)
+                refs_dev = (jnp.asarray(pad_refs_t(refs))
+                            if refs is not None
+                            else jnp.zeros_like(clipped))
+                try:
+                    scores_dev = runner.metric_scores(use, clipped,
+                                                      refs_dev)
+                except Exception:  # noqa: BLE001 — on a synchronous
+                    # backend the runtime failure surfaces at the call
+                    scores_dev = probe_metrics(use, clipped, refs_dev)
+            entry = (chunk, metas, (images, clipped, scores_dev, refs_dev),
+                     refs, use)
+        if ci == 0 and len(proc) > chunk_t:
+            # first chunk bears all jit compiles (model program at run(),
+            # metric program at metric_scores(), both synchronous on host);
+            # sync it and restart the timer so the recorded sample is
+            # steady-state ms/frame, comparable to the reference's
+            # per-forward CudaTimer numbers
+            try:
+                jax.block_until_ready((state, entry[2]))
+            except Exception:  # noqa: BLE001 — a failing host-callback
+                pass           # metric is contained at drain time instead
+            timer.exclude_warmup(valid_t)
         pending.append(entry)
         if len(pending) >= PIPELINE_DEPTH:
             drain(pending.pop(0))

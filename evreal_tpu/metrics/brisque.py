@@ -48,6 +48,9 @@ def brisque_features(img):
         for dy, dx in ((0, 1), (1, 0), (1, 1), (1, -1)):  # H, V, D1, D2
             shifted = np.roll(np.roll(coeff, dy, axis=0), dx, axis=1)
             feats += list(estimate_aggd((coeff * shifted).ravel()))
+        # truncate odd dims (e.g. BS-ERGB's 625x970 frames) so the 2x2
+        # average-pool halving below broadcasts
+        img = img[: img.shape[0] // 2 * 2, : img.shape[1] // 2 * 2]
         img = 0.25 * (img[0::2, 0::2] + img[1::2, 0::2] + img[0::2, 1::2]
                       + img[1::2, 1::2])
     return np.asarray(feats, np.float64)

@@ -49,9 +49,10 @@ def params_available(path=None):
 
 
 def load_params(path=None):
-    """Plain numpy arrays (not jnp): the registered metric loads lazily at
-    first trace, and inside a trace host scalars must stay concrete —
-    numpy weights embed as constants when the ops consume them."""
+    """Plain numpy arrays; the registry's ``loaded()`` converts them to
+    device arrays once per process, and the harness passes them through the
+    jit boundary as arguments (never as closure constants — see
+    register_if_available)."""
     data = np.load(path or os.environ.get("EVREAL_MANIQA_PARAMS",
                                           DEFAULT_PARAMS))
     return {k: data[k] for k in data.files}
@@ -329,24 +330,29 @@ def maniqa(params, img, n_crops=20, seed=0, window_size=4, scale=0.8):
 
 def register_if_available():
     """Register 'maniqa' (device-side, weights-gated like LPIPS). The
-    ~400 MB ViT-B/8 weight file is loaded lazily at the metric's first
-    trace, not at registration — registration happens for every process
-    that resolves any metric (registry._ensure_builtins) on a 1-core host."""
+    ~400 MB ViT-B/8 weight file is loaded lazily via the spec's ``params``
+    loader, not at registration — registration happens for every process
+    that resolves any metric (registry._ensure_builtins) on a 1-core host.
+    The weights flow through the jit boundary as runtime arguments: closed
+    over, they inline into the HLO as constants, which the axon
+    remote-compile endpoint rejects at this size (HTTP 413, measured)."""
     if not params_available():
         return False
     from evreal_tpu.metrics.registry import register
 
-    cache = {}
+    meta = {}
 
-    def fn(img):
-        if not cache:
-            params = load_params()
-            cache["scale"] = float(params.pop("_meta_scale", 0.8))
-            cache["window"] = int(params.pop("_meta_window", 4))
-            cache["params"] = params
+    def load():
+        params = load_params()
+        meta["scale"] = float(params.pop("_meta_scale", 0.8))
+        meta["window"] = int(params.pop("_meta_window", 4))
+        return params
+
+    def fn(params, img):
         n_crops = int(os.environ.get("EVREAL_MANIQA_CROPS", "20"))
-        return maniqa(cache["params"], img, n_crops=n_crops,
-                      window_size=cache["window"], scale=cache["scale"])
+        return maniqa(params, img, n_crops=n_crops,
+                      window_size=meta.get("window", 4),
+                      scale=meta.get("scale", 0.8))
 
-    register("maniqa", fn, no_ref=True, serial=True)
+    register("maniqa", fn, no_ref=True, serial=True, params=load)
     return True

@@ -159,6 +159,12 @@ def niqe_features(img, patch_size=96, sharpness_thresh=0.75):
 
 def niqe(img, mu_pris, cov_pris):
     feats = niqe_features(img)
+    if feats.shape[0] < 2:
+        # Sample covariance is undefined for one selected patch (np.cov on a
+        # single row degenerates to a 0-d scalar); pyiqa's n-1 normalization
+        # yields NaN here, which the tracker's NaN filtering then drops
+        # (reference semantics, utils/eval_metrics.py:51) — match that.
+        return float("nan")
     mu_d = np.nanmean(feats, axis=0)
     cov_d = np.cov(feats, rowvar=False)
     pooled = (cov_pris + cov_d) / 2.0

@@ -12,6 +12,15 @@ The harness vmaps it over frame chunks on device. Register via::
     from evreal_tpu.metrics.registry import register
     register("mymetric", my_fn, no_ref=False)
 
+A metric with large weights passes ``params`` — a zero-arg callable
+returning a host pytree, loaded lazily once per process. Its fn then takes
+the pytree as leading argument (``fn(params, img[, ref])``) and the harness
+feeds the weights through the jit boundary as runtime *arguments*. Weights
+captured by closure would instead inline into the HLO as constants —
+measured fatal for MANIQA's ~400 MB ViT-B/8: the axon remote-compile
+endpoint rejects the program body (HTTP 413), and every compiled variant
+would duplicate the constants on device.
+
 Built-ins: mse, ssim, plus lpips/niqe/brisque/maniqa when their converted
 weights exist (weights/README.md).
 """
@@ -29,13 +38,35 @@ class MetricSpec:
     # would need ~19 GB of attention activations vmapped over a 32-frame
     # chunk; mapped it peaks at one frame's ~0.6 GB)
     serial: bool = False
+    # zero-arg callable -> host pytree of weights; when set, fn's signature
+    # grows a leading params argument (see module docstring)
+    params: object = None
+    _loaded: object = dataclasses.field(default=None, repr=False)
+
+    def loaded(self):
+        """Memoized weights as device arrays (one HBM copy per process)."""
+        if self.params is not None and self._loaded is None:
+            import jax
+            import jax.numpy as jnp
+
+            self._loaded = jax.tree_util.tree_map(jnp.asarray, self.params())
+        return self._loaded
+
+    def bound(self):
+        """fn with loaded weights pre-bound (for standalone use; the
+        harness passes them through the jit boundary instead)."""
+        if self.params is None:
+            return self.fn
+        loaded = self.loaded()
+        return lambda *a: self.fn(loaded, *a)
 
 
 _REGISTRY = {}
 
 
-def register(name, fn, no_ref=False, serial=False):
-    _REGISTRY[name.lower()] = MetricSpec(name.lower(), fn, no_ref, serial)
+def register(name, fn, no_ref=False, serial=False, params=None):
+    _REGISTRY[name.lower()] = MetricSpec(name.lower(), fn, no_ref, serial,
+                                         params)
 
 
 def names():

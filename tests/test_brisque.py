@@ -77,3 +77,11 @@ def test_registry_gating_and_vmap(tmp_path, monkeypatch):
 def test_gated_off_without_params(monkeypatch):
     monkeypatch.setenv("EVREAL_BRISQUE_PARAMS", "/nonexistent/file.npz")
     assert not bq.register_if_available()
+
+
+def test_features_on_odd_dimensions():
+    """Odd H/W (e.g. BS-ERGB's 625x970 frames) must not break the 2x2
+    average-pool downsample between scales."""
+    rng = np.random.default_rng(4)
+    feats = bq.brisque_features(rng.random((97, 121)))
+    assert feats.shape == (36,) and np.isfinite(feats).all()

@@ -109,18 +109,24 @@ def test_eval_config_sweep_families():
     assert kr["dataset_kwargs"]["keep_ratio"] == 0.4
 
 
-def test_device_timer_per_frame_mean(capsys):
+def test_device_timer_frame_weighted_mean(capsys):
+    import time
+
     from evreal_tpu.harness import timers
 
     device_timers.pop("unit-test", None)
     with DeviceTimer("unit-test", frames=10):
         pass
-    with DeviceTimer("unit-test", frames=10):
-        pass
+    # warmup exclusion: the first 5 frames (and their wall time) drop out
+    with DeviceTimer("unit-test", frames=15) as t:
+        time.sleep(0.01)
+        t.exclude_warmup(5)
     assert len(device_timers["unit-test"]) == 2
+    assert device_timers["unit-test"][1][1] == 10  # frames after warmup
+    assert device_timers["unit-test"][1][0] < 10.0  # sleep excluded (ms)
     timers.print_timing_info()
     out = capsys.readouterr().out
-    assert "unit-test:" in out and "(2 samples)" in out
+    assert "unit-test:" in out and "(20 frames, 2 sequences)" in out
     device_timers.pop("unit-test", None)
 
 

@@ -269,9 +269,10 @@ def test_registry_gating(tmp_path, monkeypatch, model_and_params):
     assert m.register_if_available()
     (spec,) = registry.resolve(["maniqa"])
     assert spec.no_ref
+    assert spec.params is not None  # weights cross jit as args, not consts
     rng = np.random.default_rng(1)
-    val = float(spec.fn(jnp.asarray(rng.uniform(size=(64, 240))
-                                    .astype(np.float32))))
+    val = float(spec.bound()(jnp.asarray(rng.uniform(size=(64, 240))
+                                         .astype(np.float32))))
     assert np.isfinite(val)
 
 

@@ -1,0 +1,147 @@
+"""Runtime metric containment and metric-program compile behavior.
+
+The reference contains per-metric exceptions: a failing metric is logged and
+reset while the others continue (utils/eval_metrics.py:233-242). Host-callback
+metrics (niqe/brisque style) execute nothing under trace-time validation, so
+their failures can only surface at score-fetch time — these tests pin down
+that such a failure drops only the offending metric, not the sequence, and
+that the jitted metric program compiles exactly once per sequence (ragged
+final chunks are padded to the compiled chunk_t, not recompiled).
+"""
+
+import numpy as np
+import pytest
+
+from .test_end_to_end import FakeBundle, seq_dir  # noqa: F401 (fixture)
+
+EVAL_CONFIG = {"name": "std", "save_images": False, "histeq": "none",
+               "eval_infer_all": False, "ts_tol_ms": 1.0,
+               "create_video": False,
+               "dataset_kwargs": {"num_bins": 5,
+                                  "voxel_method": {"method": "between_frames"},
+                                  "keep_ratio": 1.0}}
+METHOD_CONFIG = {"model_name": "FireNet+",
+                 "event_tensor_normalization": False,
+                 "post_process_norm": "none"}
+
+
+def _sequence(seq_dir):
+    from evreal_tpu.data import Sequence
+
+    seq_obj = Sequence(seq_dir, num_bins=5,
+                       voxel_method={"method": "between_frames"})
+    return {"name": "seq0", "dataset": seq_obj,
+            "start_time_s": 0.0, "end_time_s": 1.0}
+
+
+def _register_runtime_bomb(fail_always=True):
+    """A no-ref metric that traces fine (pure_callback body never runs under
+    jax.eval_shape) but raises on every real execution."""
+    import jax
+
+    def fn(img):
+        def host(im):
+            raise ValueError("synthetic runtime metric failure")
+
+        return jax.pure_callback(host, np.zeros((), np.float32), img,
+                                 vmap_method="sequential")
+
+    from evreal_tpu.metrics import registry
+
+    registry.register("boom", fn, no_ref=True)
+
+
+def test_runtime_metric_failure_contained(seq_dir, tmp_path, monkeypatch,
+                                          capsys):
+    monkeypatch.chdir(tmp_path)
+    from evreal_tpu.harness.runner import eval_method_on_sequence
+    from evreal_tpu.metrics import registry
+
+    _register_runtime_bomb()
+    try:
+        bundle = FakeBundle("FireNet+")
+        num_eval, mean_scores = eval_method_on_sequence(
+            "SYN", EVAL_CONFIG, "FireNet+", bundle, METHOD_CONFIG,
+            _sequence(seq_dir), ["mse", "boom"])
+    finally:
+        registry._REGISTRY.pop("boom", None)
+
+    # the sequence completed and mse survived
+    assert num_eval > 0
+    assert "mse" in mean_scores and np.isfinite(mean_scores["mse"])
+    # no boom scores were recorded: the tracker reports its no-scores
+    # sentinel (-1, reference MetricTracker semantics) or omits the key
+    assert mean_scores.get("boom", -1) == -1
+    out_dir = tmp_path / "outputs" / "std" / "SYN" / "seq0" / "FireNet+"
+    mse_rows = (out_dir / "mse.txt").read_text().splitlines()
+    assert len(mse_rows) == num_eval
+    assert "dropping it" in capsys.readouterr().out
+
+
+def test_params_metric_weights_not_inlined(seq_dir, tmp_path, monkeypatch):
+    """A spec with a ``params`` loader must receive its weights through the
+    jit boundary as arguments — inlined as closure constants, MANIQA's
+    ~400 MB ViT-B/8 blows the axon remote-compile request limit (HTTP 413,
+    measured on the real chip)."""
+    import jax.numpy as jnp
+
+    from evreal_tpu.metrics import registry
+
+    w = np.full((512, 512), np.float32(3.14159))
+    registry.register("wmetric",
+                      lambda params, img: img.mean() * params["w"].mean(),
+                      no_ref=True, params=lambda: {"w": w})
+    try:
+        monkeypatch.chdir(tmp_path)
+        bundle = FakeBundle("FireNet+")
+        seq = _sequence(seq_dir)
+        runner = bundle.runner_for(seq["dataset"].sensor_resolution,
+                                   METHOD_CONFIG, seq["dataset"].num_bins)
+        specs = registry.resolve(["mse", "wmetric"])
+        imgs = jnp.zeros((4, 48, 64), jnp.float32)
+        scores = runner.metric_scores(specs, imgs, imgs)
+        assert np.asarray(scores["wmetric"]).shape == (4,)
+        (mfn,) = runner._metric_fns.values()
+        aux = {s.name: s.loaded() for s in specs if s.params is not None}
+        text = mfn.lower(imgs, imgs, aux).as_text()
+        # the 1 MB weight array must appear as a parameter, not a literal
+        assert len(text) < 200_000, \
+            "metric weights were inlined into the HLO as constants"
+    finally:
+        registry._REGISTRY.pop("wmetric", None)
+
+
+def test_metric_program_compiles_once_per_sequence(seq_dir, tmp_path,
+                                                   monkeypatch):
+    """A ragged final chunk must reuse the full-chunk metric program (refs
+    zero-padded, score tails ignored) instead of compiling a second shape."""
+    monkeypatch.chdir(tmp_path)
+    from evreal_tpu.harness.runner import eval_method_on_sequence
+
+    bundle = FakeBundle("FireNet+")
+    seq = _sequence(seq_dir)
+    runner = bundle.runner_for(seq["dataset"].sensor_resolution,
+                               METHOD_CONFIG, seq["dataset"].num_bins)
+    runner.chunk_t = 8  # 19 windows -> chunks of 8, 8, 3 (ragged tail)
+
+    num_eval, mean_scores = eval_method_on_sequence(
+        "SYN", EVAL_CONFIG, "FireNet+", bundle, METHOD_CONFIG, seq,
+        ["mse", "ssim"])
+    assert num_eval > runner.chunk_t  # the ragged tail was actually hit
+
+    mfns = list(runner._metric_fns.values())
+    assert len(mfns) == 1
+    assert mfns[0]._cache_size() == 1, \
+        "ragged tail forced a metric-program recompile"
+
+    # padded-tail scoring must not contaminate real scores: compare against
+    # an unchunked rerun
+    bundle2 = FakeBundle("FireNet+")
+    monkeypatch.chdir(tmp_path / "..")
+    (tmp_path / "second").mkdir(exist_ok=True)
+    monkeypatch.chdir(tmp_path / "second")
+    _, mean2 = eval_method_on_sequence(
+        "SYN", EVAL_CONFIG, "FireNet+", bundle2, METHOD_CONFIG,
+        _sequence(seq_dir), ["mse", "ssim"])
+    assert mean_scores["mse"] == pytest.approx(mean2["mse"], abs=1e-6)
+    assert mean_scores["ssim"] == pytest.approx(mean2["ssim"], abs=1e-6)

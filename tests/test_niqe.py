@@ -97,8 +97,22 @@ def test_niqe_registered_fn_survives_vmap(tmp_path, monkeypatch):
     assert niqe_mod.register_if_available()
     try:
         spec = registry._REGISTRY["niqe"]
-        imgs = rng.random((3, 96, 96)).astype(np.float32)
+        # 96x192 -> 2 patches (a single patch has no sample covariance and
+        # correctly yields NaN, see test below)
+        imgs = rng.random((3, 96, 192)).astype(np.float32)
         out = np.asarray(jax.vmap(spec.fn)(imgs))
         assert out.shape == (3,) and np.isfinite(out).all()
     finally:
         registry._REGISTRY.pop("niqe", None)
+
+
+def test_niqe_single_selected_patch_is_nan():
+    """One selected patch has no sample covariance (np.cov of a single row
+    degenerates to a 0-d scalar); the score must be NaN — which the
+    tracker's NaN filtering then drops, like pyiqa's n-1 normalization —
+    not a silently wrong finite number."""
+    rng = np.random.default_rng(6)
+    mu = rng.normal(0, 1, 36)
+    cov = np.eye(36)
+    img = rng.random((96, 96))  # exactly one 96x96 patch
+    assert np.isnan(niqe(img, mu, cov))
