@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from evreal_tpu.ops.voxelize import _prep
+from evreal_tpu.ops.voxelize import _event_rows_cols
 
 DEFAULT_CHUNK = 1024
 
@@ -70,16 +70,10 @@ def voxelize_pallas(xs, ys, ts, ps, count, num_bins, sensor_size,
     """Drop-in for ops.voxelize.voxelize_matmul. Returns (B, H, W) f32."""
     h, w = sensor_size
     e = xs.shape[0]
-    xi, yi, tn, valid = _prep(xs, ys, ts, ps, count, num_bins)
-    inb = valid & (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
-
-    lo = jnp.floor(tn).astype(jnp.int32)
-    frac = tn - lo.astype(jnp.float32)
-    w_lo = jnp.where(inb & (lo >= 0) & (lo < num_bins), ps * (1.0 - frac), 0.0)
-    w_hi = jnp.where(inb & (lo + 1 < num_bins), ps * frac, 0.0)
-    row_lo = jnp.clip(lo, 0, num_bins - 1) * h + yi
-    row_hi = jnp.clip(lo + 1, 0, num_bins - 1) * h + yi
-    cols = jnp.where(inb, xi, w)  # park invalid events outside [0, w)
+    if e == 0:  # zero-capacity buffer: _t_norm would index ts[0]
+        return jnp.zeros((num_bins, h, w), jnp.float32)
+    row_lo, row_hi, w_lo, w_hi, cols = _event_rows_cols(
+        xs, ys, ts, ps, count, num_bins, h, w)
 
     chunk = min(chunk, e)
     n_chunks = -(-e // chunk)
@@ -176,18 +170,10 @@ def voxelize_pallas_windows(xs, ys, ts, ps, count, num_bins, sensor_size,
     ts = ts.astype(jnp.float32)
 
     def prep_one(x, y, t, p, c):
-        xi, yi, tn, valid = _prep(x, y, t, p, c, num_bins)
-        inb = valid & (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
-        lo = jnp.floor(tn).astype(jnp.int32)
-        frac = tn - lo.astype(jnp.float32)
-        w_lo = jnp.where(inb & (lo >= 0) & (lo < num_bins),
-                         p * (1.0 - frac), 0.0)
-        w_hi = jnp.where(inb & (lo + 1 < num_bins), p * frac, 0.0)
-        row_lo = jnp.clip(lo, 0, num_bins - 1) * h + yi
-        row_hi = jnp.clip(lo + 1, 0, num_bins - 1) * h + yi
-        cols = jnp.where(inb, xi, w)  # park invalid events off the grid
-        return row_lo, row_hi, w_lo, w_hi, cols
+        return _event_rows_cols(x, y, t, p, c, num_bins, h, w)
 
+    if e == 0:  # zero-capacity buffers: _t_norm would index ts[0]
+        return jnp.zeros((t_n, num_bins, h, w), jnp.float32)
     row_lo, row_hi, w_lo, w_hi, cols = jax.vmap(prep_one)(xs, ys, ts, ps,
                                                           count)
 

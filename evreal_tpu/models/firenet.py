@@ -51,8 +51,11 @@ class FireNet:
 class FireNetLegacy:
     def __init__(self, num_bins=5, skip_type="sum", num_encoders=4,
                  base_num_channels=32, num_residual_blocks=2, norm=None,
-                 kernel_size=3, recurrent_block_type="convgru",
+                 kernel_size=5, recurrent_block_type="convgru",
                  recurrent_blocks=None, BN_momentum=0.1, **_):
+        # kernel_size default 5 = the reference wrapper's
+        # config.get('kernel_size', 5) (legacy.py:152); a checkpoint config
+        # omitting it must build 5x5 convs
         self.num_bins = int(num_bins)
         self.num_encoders = int(num_encoders)  # BaseE2VID default 4; only
         # affects crop/pad, the net itself never resamples (legacy.py:128-130)

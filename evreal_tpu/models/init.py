@@ -17,9 +17,12 @@ def _rng_chain(seed):
 
 
 def _kaiming_uniform(rng, shape_hwio, gain_a=np.sqrt(5)):
+    """torch Conv2d default: kaiming_uniform_(a=sqrt(5)) -> bound =
+    gain * sqrt(3/fan_in) with gain = sqrt(2/(1+a^2)), i.e. 1/sqrt(fan_in)."""
     h, w, i, o = shape_hwio
     fan_in = h * w * i
-    bound = np.sqrt(6.0 / ((1 + gain_a ** 2) * fan_in)) * np.sqrt(2)
+    gain = np.sqrt(2.0 / (1 + gain_a ** 2))
+    bound = gain * np.sqrt(3.0 / fan_in)
     return rng.uniform(-bound, bound, size=shape_hwio).astype(np.float32)
 
 

@@ -30,7 +30,17 @@ ACTIVATIONS = {
 def activation_fn(name):
     if callable(name):
         return name
-    return ACTIVATIONS[name]
+    if name in ACTIVATIONS:
+        return ACTIVATIONS[name]
+    # the reference resolves any torch function name via getattr(torch, name)
+    # (unet.py:34, e.g. final_activation='exp'); mirror that against jnp /
+    # jax.nn, failing clearly instead of a KeyError inside a trace
+    fn = getattr(jnp, name, None) or getattr(jax.nn, name, None)
+    if fn is None:
+        raise ValueError(f"unknown activation {name!r} (not in "
+                         f"{sorted(k for k in ACTIVATIONS if k)}, jnp, "
+                         f"or jax.nn)")
+    return fn
 
 
 def conv2d(p, x, stride=1, padding=0, dilation=1):

@@ -64,6 +64,8 @@ def _prep(xs, ys, ts, ps, count, num_bins):
 def voxelize_scatter(xs, ys, ts, ps, count, num_bins, sensor_size):
     """Scatter-add voxelization. Shapes: all inputs (E,); out (B, H, W)."""
     h, w = sensor_size
+    if xs.shape[0] == 0:  # zero-capacity buffer: _t_norm would index ts[0]
+        return jnp.zeros((num_bins, h, w), jnp.float32)
     xi, yi, tn, valid = _prep(xs, ys, ts, ps, count, num_bins)
     inb = valid & (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
 
@@ -77,12 +79,35 @@ def voxelize_scatter(xs, ys, ts, ps, count, num_bins, sensor_size):
     idx_hi = (lo + 1) * (h * w) + pix
     zero = jnp.float32(0)
     w_lo = jnp.where(inb & (lo >= 0) & (lo < num_bins), w_lo, zero)
-    w_hi = jnp.where(inb & (lo + 1 < num_bins), w_hi, zero)
+    w_hi = jnp.where(inb & (lo + 1 >= 0) & (lo + 1 < num_bins), w_hi, zero)
 
     flat = jnp.zeros((num_bins * h * w,), jnp.float32)
     flat = flat.at[idx_lo].add(w_lo, mode="drop")
     flat = flat.at[idx_hi].add(w_hi, mode="drop")
     return flat.reshape(num_bins, h, w)
+
+
+def _event_rows_cols(xs, ys, ts, ps, count, num_bins, h, w):
+    """Per-event one-hot coordinates and weights, shared by the matmul and
+    Pallas implementations: combined row indices ``bin * H + y`` for the two
+    adjacent bins, their interpolation weights (zeroed for invalid/OOB
+    events and out-of-range bins, matching the scatter path exactly — note
+    the ``lo + 1 >= 0`` guard: an unsorted timestamp with t_norm <= -1 must
+    deposit nothing, not charge bin 0), and column indices with invalid
+    events parked at ``w`` (outside the one-hot range)."""
+    xi, yi, tn, valid = _prep(xs, ys, ts, ps, count, num_bins)
+    inb = valid & (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+
+    lo = jnp.floor(tn).astype(jnp.int32)
+    frac = tn - lo.astype(jnp.float32)
+    w_lo = jnp.where(inb & (lo >= 0) & (lo < num_bins),
+                     ps * (1.0 - frac), 0.0)
+    w_hi = jnp.where(inb & (lo + 1 >= 0) & (lo + 1 < num_bins),
+                     ps * frac, 0.0)
+    row_lo = jnp.clip(lo, 0, num_bins - 1) * h + yi
+    row_hi = jnp.clip(lo + 1, 0, num_bins - 1) * h + yi
+    cols = jnp.where(inb, xi, w)
+    return row_lo, row_hi, w_lo, w_hi, cols
 
 
 def voxelize_matmul(xs, ys, ts, ps, count, num_bins, sensor_size,
@@ -95,15 +120,10 @@ def voxelize_matmul(xs, ys, ts, ps, count, num_bins, sensor_size,
     """
     h, w = sensor_size
     e = xs.shape[0]
-    xi, yi, tn, valid = _prep(xs, ys, ts, ps, count, num_bins)
-    inb = valid & (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
-
-    lo = jnp.floor(tn).astype(jnp.int32)
-    frac = tn - lo.astype(jnp.float32)
-    w_lo = jnp.where(inb & (lo >= 0) & (lo < num_bins), ps * (1.0 - frac), 0.0)
-    w_hi = jnp.where(inb & (lo + 1 < num_bins), ps * frac, 0.0)
-    row_lo = jnp.clip(lo, 0, num_bins - 1) * h + yi
-    row_hi = jnp.clip(lo + 1, 0, num_bins - 1) * h + yi
+    if e == 0:  # zero-capacity buffer: _t_norm would index ts[0]
+        return jnp.zeros((num_bins, h, w), jnp.float32)
+    row_lo, row_hi, w_lo, w_hi, xi = _event_rows_cols(
+        xs, ys, ts, ps, count, num_bins, h, w)
 
     chunk = min(chunk, e)
     n_chunks = -(-e // chunk)
@@ -113,7 +133,6 @@ def voxelize_matmul(xs, ys, ts, ps, count, num_bins, sensor_size,
         return jnp.pad(a, (0, pad)) if pad else a
 
     row_lo, row_hi, w_lo, w_hi, xi = map(pad_to, (row_lo, row_hi, w_lo, w_hi, xi))
-    xi = jnp.where(xi < 0, w, xi)  # park OOB cols outside the one-hot range
 
     rows_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, num_bins * h), 1)
     cols_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, w), 1)

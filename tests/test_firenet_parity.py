@@ -88,3 +88,12 @@ def test_firenet_legacy_shipped_checkpoint(steps):
     ref = rollout_ref(ref_model, [v.transpose(0, 3, 1, 2) for v in vox])
     for o, r in zip(ours, ref):
         np.testing.assert_allclose(o.transpose(0, 3, 1, 2), r, atol=1e-4)
+
+
+def test_legacy_kernel_size_default_is_5():
+    """The reference wrapper defaults kernel_size to 5 when the checkpoint
+    config omits it (legacy.py:152); a 3 here would desync padding from a
+    5x5-weight checkpoint."""
+    from evreal_tpu.models.firenet import FireNetLegacy
+
+    assert FireNetLegacy().kernel_size == 5

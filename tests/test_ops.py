@@ -75,3 +75,20 @@ def test_post_process_normalization_matches_reference(norm):
         want = img
     got = np.asarray(post_process_normalization(img, norm))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_activation_fn_resolves_torch_style_names():
+    """The reference applies any torch function name as final activation
+    (getattr(torch, name), unet.py:34); jnp/jax.nn names must resolve and
+    unknown names must fail clearly, not KeyError inside a trace."""
+    import jax.numpy as jnp
+    import pytest
+
+    from evreal_tpu.nn.layers import activation_fn
+
+    assert activation_fn("exp") is jnp.exp
+    assert np.isclose(float(activation_fn("softplus")(jnp.float32(0.0))),
+                      np.log(2.0))
+    assert activation_fn("") is None
+    with pytest.raises(ValueError, match="unknown activation"):
+        activation_fn("definitely_not_a_function")

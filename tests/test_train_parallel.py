@@ -130,3 +130,22 @@ def test_perceptual_loss_trains():
     with pytest.raises(ValueError, match="terms"):
         sequence_loss(model, params, batch["voxels"], batch["frames"],
                       loss="mse+ssim")
+
+
+def test_kaiming_uniform_matches_torch_default():
+    """Conv init must match torch's Conv2d default (kaiming_uniform_ with
+    a=sqrt(5)): bound = 1/sqrt(fan_in). A previous version was sqrt(2)
+    larger, doubling initial weight variance."""
+    from evreal_tpu.models.init import _kaiming_uniform
+
+    rng = np.random.default_rng(0)
+    w = _kaiming_uniform(rng, (3, 3, 16, 32))
+    bound = 1.0 / np.sqrt(3 * 3 * 16)
+    assert np.abs(w).max() <= bound * (1 + 1e-6)
+    assert np.abs(w).max() > bound * 0.98  # uniform actually fills the range
+
+    import torch
+
+    conv = torch.nn.Conv2d(16, 32, 3)
+    tb = conv.weight.detach().abs().max().item()
+    assert abs(tb - np.abs(w).max()) < 0.05 * bound + abs(tb - bound)

@@ -115,3 +115,32 @@ def test_events_to_image():
     xs_p, ys_p, _, ps_p, n = pack(xs, ys, np.zeros_like(xs), ps, 512)
     got = np.asarray(events_to_image(xs_p, ys_p, ps_p, n, (h, w)))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+@pytest.mark.parametrize("impl", ["scatter", "matmul"])
+def test_voxelize_unsorted_outlier_deposits_nothing(impl):
+    """An unsorted timestamp with t_norm <= -1 gets zero weight in the
+    reference (max(0, 1-|t_norm-b|) = 0 for every bin); the one-hot paths
+    must not charge bin 0 through their clipped row index (guard
+    lo + 1 >= 0 in _event_rows_cols)."""
+    h, w, b = 8, 16, 5
+    xs = np.array([3.0, 5.0, 7.0], np.float32)
+    ys = np.array([2.0, 4.0, 6.0], np.float32)
+    # window spans [10, 11]; middle event at 9.0 -> t_norm = -4
+    ts = np.array([10.0, 9.0, 11.0], np.float32)
+    ps = np.array([1.0, 1.0, 1.0], np.float32)
+    got = np.asarray(voxelize(*pack(xs, ys, ts, ps, 8), num_bins=b,
+                              sensor_size=(h, w), impl=impl))
+    want = torch_voxel(xs, ys, ts, ps, b, (h, w))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+    assert got[:, 4, 5].sum() == 0  # the outlier's pixel stays empty
+
+
+@pytest.mark.parametrize("impl", ["scatter", "matmul"])
+def test_voxelize_zero_capacity(impl):
+    """Zero-length event buffers (capacity 0) must voxelize to zeros, not
+    divide by zero while chunking."""
+    z = np.zeros((0,), np.float32)
+    got = np.asarray(voxelize(z, z, z, z, np.int32(0), num_bins=5,
+                              sensor_size=(8, 16), impl=impl))
+    assert got.shape == (5, 8, 16) and not got.any()
