@@ -102,7 +102,9 @@ def read_event_rate_joined(directory, metric="lpips",
 def plot_condition_sweep(means, xlabel, ylabel, out_path,
                          transform=extract_numeric_value):
     plt.figure(figsize=(7, 4.5))
-    lo, hi = 1.0, 0.0
+    # y-limits from the data (a fixed [0,1] anchor is wrong for unbounded
+    # metrics like PSNR when --metric is overridden)
+    lo, hi = float("inf"), float("-inf")
     any_data = False
     for idx, model in enumerate(order_models(list(means.keys()))):
         pts = sorted((transform(c), v) for c, v in means[model].items())

@@ -32,30 +32,17 @@ def main():
 
     import jax
 
+    from evreal_tpu.harness.batched import BatchedRunner
+    from evreal_tpu.models import build_flagship_e2vid
+    from evreal_tpu.utils import enable_compile_cache
+
     # persistent compilation cache: first compile of this program has been
     # observed taking minutes when the chip is degraded; later runs (incl.
     # the driver's) reuse the cached executable
-    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                               os.path.expanduser("~/.cache/evreal_jax"))
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    except Exception:  # noqa: BLE001 — cache is best-effort
-        pass
-
-    from evreal_tpu.harness.batched import BatchedRunner
-    from evreal_tpu.models import build_model
-    from evreal_tpu.models.init import init_e2vid
+    enable_compile_cache()
 
     h, w, n_events = 180, 240, 30000
-    kwargs = dict(num_bins=5, base_num_channels=32, kernel_size=5,
-                  num_encoders=3, recurrent_block_type="convlstm",
-                  num_residual_blocks=2, skip_type="sum", norm=None,
-                  use_upsample_conv=True, final_activation="sigmoid")
-    model = build_model("E2VIDRecurrent", kwargs)
-    params = jax.tree.map(np.asarray, init_e2vid(
-        seed=0, num_bins=5, base_num_channels=32, kernel_size=5,
-        num_encoders=3))
+    model, params = build_flagship_e2vid(seed=0)
 
     runner = BatchedRunner(model, params, event_norm=True,
                            post_norm="robust", height=h, width=w,

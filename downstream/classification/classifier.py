@@ -135,8 +135,17 @@ def main():
         classes = f.read().splitlines()
 
     model = build_resnet50_classifier(torch, nn)
-    model.load_state_dict(torch.load(args.weights, map_location="cpu"),
-                          strict=False)
+    # strict=False only to tolerate the checkpoint's unused extra keys
+    # (e.g. the pretrainedmodels last_linear head); missing keys would mean
+    # the backbone stays randomly initialized and the accuracies are
+    # garbage — fail loudly instead
+    result = model.load_state_dict(
+        torch.load(args.weights, map_location="cpu"), strict=False)
+    if result.missing_keys:
+        raise SystemExit(
+            f"checkpoint {args.weights} does not match the model: "
+            f"{len(result.missing_keys)} missing keys "
+            f"(first: {result.missing_keys[:3]})")
     model.eval()
 
     def predict(img_path):

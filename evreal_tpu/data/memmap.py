@@ -48,8 +48,10 @@ class Sequence:
                                "image_event_indices.npy"))
         if self.has_images:
             self.images = np.load(j("images.npy"), mmap_mode="r")
+            # reshape(-1), not squeeze(): a single-frame (1,1) array must
+            # stay iterable (squeeze would collapse it to a 0-d scalar)
             self.frame_ts = [float(t) for t in
-                             np.load(j("images_ts.npy")).squeeze()]
+                             np.load(j("images_ts.npy")).reshape(-1)]
             self.image_event_indices = np.load(j("image_event_indices.npy"))
             self.num_frames = len(self.images)
         else:
@@ -175,6 +177,13 @@ class Sequence:
             assert 0 <= index < len(self)
             idx0, idx1 = self._event_range(index)
 
+        if idx1 < idx0:
+            # non-monotonic image_event_indices (frame-ts repair in the
+            # converters fixes only isolated errors) — the reference's
+            # events_ts[idx0:idx1] is simply empty there (dataset.py:222-228);
+            # emit an empty window rather than a negative count that would
+            # blow up the fixed-capacity packer
+            idx1 = idx0
         event_count = idx1 - idx0
         if event_count > 0:
             ts_0 = float(self.t[idx0])

@@ -87,8 +87,13 @@ def pack_windows(seq, indices, capacity=None, out=None, metas=None,
                "count": alloc((t,), np.int32)}
         zeroed = not native_ok
     else:
-        assert out["xs"].shape == (t, capacity), (out["xs"].shape,
-                                                  (t, capacity))
+        # validate every buffer's shape, not just xs — the native packer
+        # writes rows at stride `capacity` with no bounds check, so an
+        # undersized ts/ps view from a stale pool would be heap corruption
+        for k in ("xs", "ys", "ts", "ps"):
+            assert out[k].shape == (t, capacity), (k, out[k].shape,
+                                                   (t, capacity))
+        assert out["count"].shape == (t,), (out["count"].shape, (t,))
         zeroed = bool(out_zeroed)
         native_ok = native_ok and all(
             out[k].dtype == d and out[k].flags["C_CONTIGUOUS"]

@@ -27,11 +27,10 @@ def build(arch, num_bins):
                                         "kernel_size": 3})
         params = init_firenet(num_bins=num_bins)
     elif arch == "e2vid":
-        kwargs = dict(num_bins=num_bins, base_num_channels=32, kernel_size=5,
-                      num_encoders=3, recurrent_block_type="convlstm",
-                      num_residual_blocks=2, skip_type="sum", norm=None,
-                      use_upsample_conv=True, final_activation="sigmoid")
-        model = build_model("E2VIDRecurrent", kwargs)
+        from evreal_tpu.models import flagship_e2vid_kwargs
+
+        model = build_model("E2VIDRecurrent",
+                            flagship_e2vid_kwargs(num_bins))
         params = init_e2vid(num_bins=num_bins)
     else:
         raise SystemExit(f"unknown arch {arch}")

@@ -102,3 +102,77 @@ def test_min_max_t(seq_dir):
     ours = Sequence(seq_dir, num_bins=5)
     assert ours.get_min_max_t() == ref.get_min_max_t()
     assert ours.sensor_resolution == tuple(ref.sensor_resolution)
+
+
+def test_single_frame_sequence_loads(tmp_path):
+    """A sequence with exactly one GT frame must open: squeeze() on a (1,1)
+    images_ts would collapse it to an un-iterable 0-d scalar."""
+    d = tmp_path / "one_frame"
+    d.mkdir()
+    n = 50
+    rng = np.random.default_rng(0)
+    ts = np.sort(rng.uniform(0, 0.5, n))
+    np.save(d / "events_ts.npy", ts[:, None])
+    np.save(d / "events_xy.npy",
+            rng.integers(0, 16, (n, 2)).astype(np.int16))
+    np.save(d / "events_p.npy", rng.integers(0, 2, n).astype(np.uint8))
+    np.save(d / "images.npy", np.zeros((1, 16, 16, 1), np.uint8))
+    np.save(d / "images_ts.npy", np.array([[0.25]]))
+    np.save(d / "image_event_indices.npy",
+            np.array([[np.searchsorted(ts, 0.25)]], np.int64))
+    (d / "metadata.json").write_text('{"sensor_resolution": [16, 16]}')
+
+    seq = Sequence(str(d), num_bins=5,
+                   voxel_method={"method": "t_seconds", "t": 0.1,
+                                 "sliding_window_t": 0})
+    assert seq.frame_ts == [0.25]
+    assert len(seq) > 0 and seq.window(0)["frame_index"] == 0
+
+
+def test_non_monotonic_image_event_indices_empty_window(tmp_path):
+    """Decreasing image_event_indices (repair only fixes isolated frame-ts
+    errors) must yield an empty window like the reference's empty slice,
+    not a negative event_count that blows up the packer."""
+    d = tmp_path / "nonmono"
+    d.mkdir()
+    n = 100
+    rng = np.random.default_rng(1)
+    ts = np.sort(rng.uniform(0, 1.0, n))
+    np.save(d / "events_ts.npy", ts[:, None])
+    np.save(d / "events_xy.npy",
+            rng.integers(0, 16, (n, 2)).astype(np.int16))
+    np.save(d / "events_p.npy", rng.integers(0, 2, n).astype(np.uint8))
+    np.save(d / "images.npy", np.zeros((3, 16, 16, 1), np.uint8))
+    np.save(d / "images_ts.npy", np.array([[0.2], [0.5], [0.8]]))
+    # frame 1's index goes backwards
+    np.save(d / "image_event_indices.npy",
+            np.array([[60], [10], [90]], np.int64))
+    (d / "metadata.json").write_text('{"sensor_resolution": [16, 16]}')
+
+    seq = Sequence(str(d), num_bins=5,
+                   voxel_method={"method": "between_frames"})
+    m = seq.window(0)  # window between frames 0 and 1: indices 60 -> 10
+    assert m["event_count"] == 0 and m["idx0"] == m["idx1"]
+    from evreal_tpu.data.packing import pack_windows
+
+    buffers, _ = pack_windows(seq, [0, 1], capacity=2048)
+    assert buffers["count"][0] == 0
+
+
+def test_pack_windows_validates_all_out_buffers(seq_dir):
+    """An undersized non-xs out buffer must be rejected — the native packer
+    writes rows at stride `capacity` with no bounds check."""
+    import pytest
+
+    seq = Sequence(seq_dir, num_bins=5,
+                   voxel_method={"method": "between_frames"})
+    from evreal_tpu.data.packing import pack_windows
+
+    t, cap = 2, 2048
+    out = {"xs": np.zeros((t, cap), np.int16),
+           "ys": np.zeros((t, cap), np.int16),
+           "ts": np.zeros((t, cap // 2), np.float32),  # undersized
+           "ps": np.zeros((t, cap), np.int8),
+           "count": np.zeros((t,), np.int32)}
+    with pytest.raises(AssertionError):
+        pack_windows(seq, [0, 1], capacity=cap, out=out)

@@ -89,3 +89,40 @@ def test_extract_gt_images(tmp_path):
     out = tmp_path / "gt"
     egi.extract_gt_images(str(d), str(out))
     assert len(list(out.glob("frame_*.png"))) == 5
+
+
+def test_bag_image_decode_encodings():
+    """_decode_image_mono8 must honor encoding + row stride (the reference
+    used CvBridge(msg, 'mono8'); raw reshape broke rgb8/step-padded bags)."""
+    import sys as _sys
+    import types
+
+    sys.path.insert(0, "/root/repo/tools")
+    from bag_to_npy import _decode_image_mono8
+
+    def msg(h, w, data, encoding, step=0):
+        m = types.SimpleNamespace()
+        m.height, m.width, m.data, m.encoding, m.step = h, w, data, encoding, step
+        m.is_bigendian = 0
+        return m
+
+    rng = np.random.default_rng(0)
+    mono = rng.integers(0, 255, (4, 6), dtype=np.uint8)
+    out = _decode_image_mono8(msg(4, 6, mono.tobytes(), "mono8"))
+    assert np.array_equal(out, mono)
+
+    # step-padded mono8 (stride 8 > width 6)
+    padded = np.zeros((4, 8), np.uint8)
+    padded[:, :6] = mono
+    out = _decode_image_mono8(msg(4, 6, padded.tobytes(), "mono8", step=8))
+    assert np.array_equal(out, mono)
+
+    # rgb8 -> grayscale, same shape
+    rgb = rng.integers(0, 255, (4, 6, 3), dtype=np.uint8)
+    out = _decode_image_mono8(msg(4, 6, rgb.tobytes(), "rgb8"))
+    assert out.shape == (4, 6) and out.dtype == np.uint8
+
+    # unknown encoding fails clearly
+    import pytest
+    with pytest.raises(ValueError, match="unsupported image encoding"):
+        _decode_image_mono8(msg(4, 6, mono.tobytes(), "yuv422"))

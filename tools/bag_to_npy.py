@@ -33,6 +33,49 @@ def _ts_float(ts):
     return ts.secs + ts.nsecs / 1e9
 
 
+def _decode_image_mono8(msg):
+    """sensor_msgs/Image -> mono8 ndarray, honoring the row stride and the
+    common encodings (the reference's CvBridge().imgmsg_to_cv2(msg, 'mono8'),
+    tools/bag_to_npy.py:40 — CvBridge is unavailable without ROS)."""
+    import cv2
+
+    h, w = msg.height, msg.width
+    enc = (getattr(msg, "encoding", "mono8") or "mono8").lower()
+    channels = {"mono8": 1, "8uc1": 1, "rgb8": 3, "bgr8": 3,
+                "rgba8": 4, "bgra8": 4}.get(enc)
+    if channels is None and enc.startswith("bayer_"):
+        channels = 1
+    itemsize = 1
+    if channels is None and enc in ("mono16", "16uc1"):
+        channels, itemsize = 1, 2
+    if channels is None:
+        raise ValueError(f"unsupported image encoding {enc!r}")
+
+    step = int(getattr(msg, "step", 0)) or w * channels * itemsize
+    dtype = np.uint16 if itemsize == 2 else np.uint8
+    rows = np.frombuffer(msg.data, np.uint8)[: h * step].reshape(h, step)
+    img = rows[:, : w * channels * itemsize].view(dtype).reshape(
+        h, w, channels) if channels > 1 else \
+        rows[:, : w * itemsize].view(dtype).reshape(h, w)
+    if getattr(msg, "is_bigendian", 0) and itemsize == 2:
+        img = img.byteswap()
+
+    if enc in ("mono8", "8uc1"):
+        return np.ascontiguousarray(img)
+    if enc in ("mono16", "16uc1"):
+        return (img >> 8).astype(np.uint8)
+    if enc.startswith("bayer_"):
+        pattern = {"bayer_rggb8": cv2.COLOR_BayerBG2GRAY,
+                   "bayer_bggr8": cv2.COLOR_BayerRG2GRAY,
+                   "bayer_gbrg8": cv2.COLOR_BayerGR2GRAY,
+                   "bayer_grbg8": cv2.COLOR_BayerGB2GRAY}[enc]
+        return cv2.cvtColor(np.ascontiguousarray(img), pattern)
+    code = {"rgb8": cv2.COLOR_RGB2GRAY, "bgr8": cv2.COLOR_BGR2GRAY,
+            "rgba8": cv2.COLOR_RGBA2GRAY,
+            "bgra8": cv2.COLOR_BGRA2GRAY}[enc]
+    return cv2.cvtColor(np.ascontiguousarray(img), code)
+
+
 def bag_to_npy(bag_path, output_path, event_topic, image_topic):
     import cv2
 
@@ -56,8 +99,7 @@ def bag_to_npy(bag_path, output_path, event_topic, image_topic):
                                    np.int64))
         else:
             images_ts.append(_ts_float(msg.header.stamp))
-            h, w = msg.height, msg.width
-            img = np.frombuffer(msg.data, np.uint8).reshape(h, w)
+            img = _decode_image_mono8(msg)
             if sensor_size is None:
                 sensor_size = img.shape[:2]
             elif sensor_size != img.shape[:2]:

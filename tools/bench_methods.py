@@ -28,13 +28,14 @@ _REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir)
 sys.path.insert(0, os.path.join(_REPO, "tests"))
 sys.path.insert(0, _REPO)
 
+from evreal_tpu.models import flagship_e2vid_kwargs  # noqa: E402
+
 REAL_KW = {
     # E2VID family at published size (SURVEY §2c; eval.py:134-139 spells the
-    # SSL-E2VID variant out explicitly, E2VID+ matches).
-    "e2vid": {"num_bins": 5, "base_num_channels": 32, "kernel_size": 5,
-              "num_encoders": 3, "recurrent_block_type": "convlstm",
-              "num_residual_blocks": 2, "skip_type": "sum", "norm": None,
-              "use_upsample_conv": True},
+    # SSL-E2VID variant out explicitly, E2VID+ matches). final_activation is
+    # not a torch-ctor kwarg here — the reference forces it at load time.
+    "e2vid": {k: v for k, v in flagship_e2vid_kwargs().items()
+              if k != "final_activation"},
 }
 
 
@@ -154,14 +155,9 @@ def main():
     args = ap.parse_args()
     import jax
 
-    try:  # share the persistent compile cache (see bench.py)
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                           os.path.expanduser("~/.cache/evreal_jax")))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    except Exception:  # noqa: BLE001
-        pass
+    from evreal_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()  # shared persistent compile cache (see bench.py)
 
     print(f"backend: {jax.default_backend()}", flush=True)
     with tempfile.TemporaryDirectory() as root:
