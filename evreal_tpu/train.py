@@ -67,6 +67,32 @@ def sequence_loss(model, params, voxels, frames, remat=True, loss="mse",
     return total
 
 
+def build_optimizer(lr=1e-4, schedule="constant", steps=None, warmup=0,
+                    weight_decay=0.0, clip_grad=0.0):
+    """Production optimizer stack: optional global-norm gradient clipping,
+    adam/adamw, and a constant or linear-warmup cosine-decay schedule
+    (``steps`` required for cosine)."""
+    if schedule == "cosine":
+        if not steps:
+            raise ValueError("cosine schedule needs total steps")
+        sched = optax.warmup_cosine_decay_schedule(
+            init_value=0.0 if warmup else lr, peak_value=lr,
+            warmup_steps=warmup, decay_steps=steps)
+    elif schedule == "constant":
+        sched = lr
+        if warmup:
+            sched = optax.join_schedules(
+                [optax.linear_schedule(0.0, lr, warmup),
+                 optax.constant_schedule(lr)], [warmup])
+    else:
+        raise ValueError(f"unknown schedule {schedule!r}")
+    core = (optax.adamw(sched, weight_decay=weight_decay) if weight_decay
+            else optax.adam(sched))
+    if clip_grad:
+        return optax.chain(optax.clip_by_global_norm(clip_grad), core)
+    return core
+
+
 def make_train_step(model, optimizer=None, mesh=None, remat=True,
                     loss="mse", lpips_weights=None, lpips_scale=1.0):
     if optimizer is None:

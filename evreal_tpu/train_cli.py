@@ -63,7 +63,6 @@ def sample_batch(seqs, voxelize, rng, batch, chunk_t, num_bins, crop):
 
 def main(argv=None):
     import jax
-    import optax
 
     from evreal_tpu.data import Sequence
     from evreal_tpu.harness.runner import default_voxelize_impl, make_voxel_stage
@@ -81,6 +80,14 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--chunk-t", type=int, default=8)
     ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--lr-schedule", default="constant",
+                    choices=["constant", "cosine"])
+    ap.add_argument("--warmup", type=int, default=0,
+                    help="linear LR warmup steps")
+    ap.add_argument("--weight-decay", type=float, default=0.0,
+                    help="adamw decoupled weight decay (0 = plain adam)")
+    ap.add_argument("--clip-grad", type=float, default=0.0,
+                    help="global-norm gradient clip (0 = off)")
     ap.add_argument("--loss", default="mse",
                     help="'+'-joined terms from {mse, lpips} (lpips needs "
                          "converted weights, weights/README.md)")
@@ -130,7 +137,13 @@ def main(argv=None):
             raise SystemExit("--loss includes lpips but converted weights "
                              "are missing (tools/convert_lpips.py)")
         lpips_weights = lpips_mod.load_weights()
-    step_fn, opt = make_train_step(model, optax.adam(args.lr), mesh=mesh,
+    from evreal_tpu.train import build_optimizer
+
+    optimizer = build_optimizer(
+        lr=args.lr, schedule=args.lr_schedule, steps=args.steps,
+        warmup=args.warmup, weight_decay=args.weight_decay,
+        clip_grad=args.clip_grad)
+    step_fn, opt = make_train_step(model, optimizer, mesh=mesh,
                                    loss=args.loss,
                                    lpips_weights=lpips_weights,
                                    lpips_scale=args.lpips_scale)

@@ -149,3 +149,36 @@ def test_kaiming_uniform_matches_torch_default():
     conv = torch.nn.Conv2d(16, 32, 3)
     tb = conv.weight.detach().abs().max().item()
     assert abs(tb - np.abs(w).max()) < 0.05 * bound + abs(tb - bound)
+
+
+def test_build_optimizer_variants():
+    """Optimizer stack: schedules, warmup, weight decay, gradient clip."""
+    import jax
+    import jax.numpy as jnp
+
+    from evreal_tpu.train import build_optimizer
+
+    params = {"w": jnp.ones((4,))}
+    grads = {"w": jnp.full((4,), 100.0)}  # large grads to exercise the clip
+
+    for kw in ({"schedule": "cosine", "steps": 10, "warmup": 2},
+               {"warmup": 3},
+               {"weight_decay": 1e-2},
+               {"clip_grad": 1.0}):
+        opt = build_optimizer(lr=1e-2, **kw)
+        state = opt.init(params)
+        updates, state = opt.update(grads, state, params)
+        new = jax.tree.map(lambda p, u: p + u, params, updates)
+        assert np.isfinite(np.asarray(new["w"])).all()
+
+    # clipped update magnitude is bounded by lr (adam) regardless of grads
+    opt = build_optimizer(lr=1e-2, clip_grad=1.0)
+    state = opt.init(params)
+    updates, _ = opt.update(grads, state, params)
+    assert np.abs(np.asarray(updates["w"])).max() <= 1e-2 * 1.01
+
+    import pytest
+    with pytest.raises(ValueError, match="cosine schedule needs"):
+        build_optimizer(schedule="cosine")
+    with pytest.raises(ValueError, match="unknown schedule"):
+        build_optimizer(schedule="linear")
