@@ -116,8 +116,9 @@ def _ensure_builtins():
     register("mse", F.mse)
     register("ssim", F.ssim)
     if lpips_mod.weights_available():
-        w = lpips_mod.load_weights()
-        register("lpips", lambda img, ref: lpips_mod.lpips(w, img, ref)[0])
+        register("lpips",
+                 lambda w, img, ref: lpips_mod.lpips(w, img, ref)[0],
+                 params=lpips_mod.load_weights)
     from evreal_tpu.metrics import maniqa as maniqa_mod
 
     maniqa_mod.register_if_available()
