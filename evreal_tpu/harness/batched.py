@@ -328,40 +328,10 @@ def eval_method_on_sequence_group(dataset_name, eval_config, method_name,
                     refs[j, r] = seq.frame(metas_all[j][i]["frame_index"])
         return bufs, chunk_info, refs
 
-    dead_metrics = set()
+    from evreal_tpu.harness.runner import fence, make_metric_containment
 
-    def live(use):
-        return [s for s in use if s.name not in dead_metrics]
-
-    def probe_metrics(use, imgs_dev, refs_dev):
-        """Re-run metrics one at a time on this chunk to find which one
-        failed; offenders are dropped for the rest of the group.
-        Host-callback metrics execute nothing under trace-time validation,
-        so their failures only surface at real execution — the runtime half
-        of the reference's per-metric containment
-        (eval_metrics.py:233-242)."""
-        out = {}
-        for s in use:
-            if s.name in dead_metrics:
-                continue
-            try:
-                out[s.name] = np.asarray(
-                    runner.metric_scores([s], imgs_dev, refs_dev)[s.name])
-            except Exception as exc:  # noqa: BLE001
-                dead_metrics.add(s.name)
-                lines = str(exc).strip().splitlines()
-                print(f"Metric {s.name} failed at runtime; dropping it "
-                      f"for the rest of this group "
-                      f"({lines[-1][:200] if lines else exc})")
-        return out
-
-    def fetch_scores(scores_dev, use, imgs_dev, refs_dev):
-        # scores_dev may already be a host dict when the dispatch site
-        # contained a synchronous-backend failure via probe_metrics
-        try:
-            return {k: np.asarray(v) for k, v in scores_dev.items()}
-        except Exception:  # noqa: BLE001 — async runtime failure
-            return probe_metrics(use, imgs_dev, refs_dev)
+    live, probe_metrics, fetch_scores = make_metric_containment(
+        runner, "group")
 
     def drain(entry):
         chunk_info, refs, images_dev, clipped_dev, scores_dev, entry_use, \
@@ -434,17 +404,20 @@ def eval_method_on_sequence_group(dataset_name, eval_config, method_name,
             except Exception:  # noqa: BLE001 — on a synchronous backend
                 # the runtime failure surfaces at the call
                 scores_dev = probe_metrics(use, clipped, r)
+        pending.append((chunk_info, refs, images, clipped, scores_dev, use,
+                        r))
         if k == 0 and max_chunks > 1:
-            # first chunk bears all jit compiles (synchronous on host at the
-            # run()/metric_scores() calls above); sync it and restart the
+            # first chunk bears the jit compiles (model program at run();
+            # metric program at metric_scores() — for hist-eq configs that
+            # happens inside drain()); complete it fully, then restart the
             # timer so the sample is steady-state ms/frame
+            if hist_eq != "none":
+                drain(pending.pop(0))  # metric program compiles here
             try:
-                jax.block_until_ready((state, scores_dev))
+                fence((state, scores_dev))
             except Exception:  # noqa: BLE001 — a failing host-callback
                 pass           # metric is contained at drain time instead
             timer.exclude_warmup(sum(len(i) for i in chunk_info))
-        pending.append((chunk_info, refs, images, clipped, scores_dev, use,
-                        r))
         if len(pending) >= PIPELINE_DEPTH:
             drain(pending.pop(0))
     for entry in pending:

@@ -177,6 +177,61 @@ def load_method_params(method_config):
     return load_params(path)
 
 
+def fence(tree):
+    """Synchronize every array in the tree by *value fetch* —
+    ``block_until_ready`` has been observed returning early on the axon TPU
+    backend (CLAUDE.md 'Environment gotchas'); a host fetch is always
+    trustworthy. Used to place timing boundaries."""
+    for leaf in jax.tree_util.tree_leaves(tree):
+        np.asarray(leaf)
+
+
+def make_metric_containment(runner, scope):
+    """Dead-metric bookkeeping shared by the single-sequence and batched
+    runners. Returns (live, probe_metrics, fetch_scores):
+
+    - ``live(specs)`` filters out metrics already dropped;
+    - ``probe_metrics`` re-runs metrics one at a time on a chunk to find
+      which one failed, dropping offenders for the rest of the ``scope``.
+      Host-callback metrics (niqe/brisque) execute nothing under the
+      trace-time jax.eval_shape validation, so their errors can only
+      surface at real execution — this is the runtime half of the
+      reference's per-metric containment (eval_metrics.py:233-242);
+    - ``fetch_scores`` np-ifies a score dict, falling back to the probe on
+      an async runtime failure.
+    """
+    dead = set()
+
+    def live(use):
+        return [s for s in use if s.name not in dead]
+
+    def probe_metrics(use, imgs_dev, refs_dev):
+        out = {}
+        for s in use:
+            if s.name in dead:
+                continue
+            try:
+                out[s.name] = np.asarray(
+                    runner.metric_scores([s], imgs_dev, refs_dev)[s.name])
+            except Exception as exc:  # noqa: BLE001
+                dead.add(s.name)
+                lines = str(exc).strip().splitlines()
+                print(f"Metric {s.name} failed at runtime; dropping it "
+                      f"for the rest of this {scope} "
+                      f"({lines[-1][:200] if lines else exc})")
+        return out
+
+    def fetch_scores(scores_dev, use, imgs_dev, refs_dev):
+        # scores_dev may already be a host dict when the dispatch site
+        # contained a synchronous-backend failure via probe_metrics
+        try:
+            return {k: np.asarray(v) for k, v in scores_dev.items()}
+        except Exception:  # noqa: BLE001 — async runtime failure
+            return probe_metrics(use, imgs_dev, refs_dev)
+
+    return live, probe_metrics, fetch_scores
+
+
 def validate_metric_specs(cache, specs, hw):
     """Keep only metrics whose fn traces at this image shape — the
     reference's per-metric exception containment (eval_metrics.py:233-242).
@@ -461,40 +516,8 @@ def eval_method_on_sequence(dataset_name, eval_config, method_name, bundle,
         out[: r.shape[0]] = r
         return out
 
-    dead_metrics = set()
-
-    def live(use):
-        return [s for s in use if s.name not in dead_metrics]
-
-    def probe_metrics(use, imgs_dev, refs_dev):
-        """Re-run metrics one at a time on this chunk to find which one
-        failed; offenders are dropped for the rest of the sequence.
-        Host-callback metrics (niqe/brisque) execute nothing under the
-        trace-time jax.eval_shape validation, so their errors can only
-        surface at real execution — this is the runtime half of the
-        reference's per-metric containment (eval_metrics.py:233-242)."""
-        out = {}
-        for s in use:
-            if s.name in dead_metrics:
-                continue
-            try:
-                out[s.name] = np.asarray(
-                    runner.metric_scores([s], imgs_dev, refs_dev)[s.name])
-            except Exception as exc:  # noqa: BLE001
-                dead_metrics.add(s.name)
-                lines = str(exc).strip().splitlines()
-                print(f"Metric {s.name} failed at runtime; dropping it "
-                      f"for the rest of this sequence "
-                      f"({lines[-1][:200] if lines else exc})")
-        return out
-
-    def fetch_scores(scores_dev, use, imgs_dev, refs_dev):
-        # scores_dev may already be a host dict when the dispatch site
-        # contained a synchronous-backend failure via probe_metrics
-        try:
-            return {k: np.asarray(v) for k, v in scores_dev.items()}
-        except Exception:  # noqa: BLE001 — async runtime failure
-            return probe_metrics(use, imgs_dev, refs_dev)
+    live, probe_metrics, fetch_scores = make_metric_containment(
+        runner, "sequence")
 
     def drain(entry):
         chunk, metas, tensors, refs, entry_use = entry
@@ -599,18 +622,20 @@ def eval_method_on_sequence(dataset_name, eval_config, method_name, bundle,
                     scores_dev = probe_metrics(use, clipped, refs_dev)
             entry = (chunk, metas, (images, clipped, scores_dev, refs_dev),
                      refs, use)
+        pending.append(entry)
         if ci == 0 and len(proc) > chunk_t:
-            # first chunk bears all jit compiles (model program at run(),
-            # metric program at metric_scores(), both synchronous on host);
-            # sync it and restart the timer so the recorded sample is
-            # steady-state ms/frame, comparable to the reference's
-            # per-forward CudaTimer numbers
+            # first chunk bears the jit compiles (model program at run();
+            # metric program at metric_scores() — which for hist-eq configs
+            # happens inside drain()); complete it fully, then restart the
+            # timer so the recorded sample is steady-state ms/frame,
+            # comparable to the reference's per-forward CudaTimer numbers
+            if hist_eq != "none" and not color:
+                drain(pending.pop(0))  # metric program compiles here
             try:
-                jax.block_until_ready((state, entry[2]))
+                fence((state, entry[2]))
             except Exception:  # noqa: BLE001 — a failing host-callback
                 pass           # metric is contained at drain time instead
             timer.exclude_warmup(valid_t)
-        pending.append(entry)
         if len(pending) >= PIPELINE_DEPTH:
             drain(pending.pop(0))
     for entry in pending:

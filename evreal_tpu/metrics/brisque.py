@@ -77,11 +77,22 @@ def register_if_available():
 
     params = load_params()
 
+    warned = []
+
     def fn(img):
         import jax
 
         def host(im):
-            return np.float32(brisque(np.asarray(im), params))
+            # per-frame failures become NaN (dropped by the tracker), not a
+            # raise that would kill the metric for the sequence — see the
+            # matching comment in niqe.py (padded-tail frames can be NaN)
+            try:
+                return np.float32(brisque(np.asarray(im), params))
+            except Exception as exc:  # noqa: BLE001
+                if not warned:
+                    warned.append(True)
+                    print(f"brisque failed on a frame ({exc}); scoring NaN")
+                return np.float32("nan")
 
         # vmap_method: the harness vmaps metric fns over the chunk
         return jax.pure_callback(host, np.zeros((), np.float32), img,

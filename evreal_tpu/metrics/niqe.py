@@ -181,11 +181,25 @@ def register_if_available():
 
     mu, cov = load_params()
 
+    warned = []
+
     def fn(img):
         import jax
 
         def host(im):
-            return np.float32(niqe(np.asarray(im), mu, cov))
+            # Contain per-frame failures as NaN (dropped by the tracker's
+            # NaN filtering, eval_metrics.py:51) instead of raising: the
+            # fixed-shape pipeline also scores the zero-padded tail of a
+            # ragged final chunk, whose frames can be all-NaN after robust
+            # normalization — a raise there would kill the metric for the
+            # whole sequence, not just skip a synthetic frame.
+            try:
+                return np.float32(niqe(np.asarray(im), mu, cov))
+            except Exception as exc:  # noqa: BLE001
+                if not warned:
+                    warned.append(True)
+                    print(f"niqe failed on a frame ({exc}); scoring NaN")
+                return np.float32("nan")
 
         # vmap_method: the harness always vmaps metric fns over the chunk
         # (runner.metric_scores); the host feature extraction is serial

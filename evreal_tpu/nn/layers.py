@@ -36,7 +36,7 @@ def activation_fn(name):
     # (unet.py:34, e.g. final_activation='exp'); mirror that against jnp /
     # jax.nn, failing clearly instead of a KeyError inside a trace
     fn = getattr(jnp, name, None) or getattr(jax.nn, name, None)
-    if fn is None:
+    if fn is None or not callable(fn):  # e.g. 'pi' resolves to a constant
         raise ValueError(f"unknown activation {name!r} (not in "
                          f"{sorted(k for k in ACTIVATIONS if k)}, jnp, "
                          f"or jax.nn)")

@@ -116,3 +116,29 @@ def test_niqe_single_selected_patch_is_nan():
     cov = np.eye(36)
     img = rng.random((96, 96))  # exactly one 96x96 patch
     assert np.isnan(niqe(img, mu, cov))
+
+
+def test_niqe_registered_fn_nan_frame_contained(tmp_path, monkeypatch):
+    """A frame the scorer cannot handle (e.g. the all-NaN zero-padded tail
+    of a ragged chunk after robust normalization) must score NaN, not raise
+    — a raise would kill the metric for the whole sequence."""
+    import jax
+
+    from evreal_tpu.metrics import niqe as niqe_mod
+    from evreal_tpu.metrics import registry
+
+    rng = np.random.default_rng(7)
+    feats = rng.normal(0, 1, (80, 36)).astype(np.float64)
+    np.savez(tmp_path / "niqe_params.npz", mu=feats.mean(0),
+             cov=np.cov(feats.T))
+    monkeypatch.setenv("EVREAL_NIQE_PARAMS",
+                       str(tmp_path / "niqe_params.npz"))
+    assert niqe_mod.register_if_available()
+    try:
+        spec = registry._REGISTRY["niqe"]
+        imgs = np.stack([rng.random((96, 192)).astype(np.float32),
+                         np.full((96, 192), np.nan, np.float32)])
+        out = np.asarray(jax.vmap(spec.fn)(imgs))
+        assert np.isfinite(out[0]) and np.isnan(out[1])
+    finally:
+        registry._REGISTRY.pop("niqe", None)

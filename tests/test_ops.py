@@ -92,3 +92,5 @@ def test_activation_fn_resolves_torch_style_names():
     assert activation_fn("") is None
     with pytest.raises(ValueError, match="unknown activation"):
         activation_fn("definitely_not_a_function")
+    with pytest.raises(ValueError, match="unknown activation"):
+        activation_fn("pi")  # resolves to a constant, not a callable
