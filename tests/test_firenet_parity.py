@@ -97,3 +97,32 @@ def test_legacy_kernel_size_default_is_5():
     from evreal_tpu.models.firenet import FireNetLegacy
 
     assert FireNetLegacy().kernel_size == 5
+
+
+def test_firenet_legacy_recurrent_blocks_variant():
+    """recurrent_blocks={'resblock': [0, 1]}: both resblocks recurrent
+    (legacy.py:59, 100) — exercises the mixed recurrent/plain resblock list
+    beyond the shipped checkpoint's default {'resblock': [0]}."""
+    import torch
+
+    from evreal_tpu.convert import convert_state_dict
+    from evreal_tpu.models import build_model
+
+    torch.manual_seed(9)
+    legacy = ref_module("model.legacy")
+    cfg = {"num_bins": 5, "base_num_channels": 12, "kernel_size": 3,
+           "num_residual_blocks": 2,
+           "recurrent_blocks": {"resblock": [0, 1]},
+           "recurrent_block_type": "convgru"}
+    ref_model = legacy.FireNet_legacy(dict(cfg))
+    ref_model.eval()
+    ref_model.reset_states()
+
+    model = build_model("FireNet_legacy", dict(cfg))
+    params = nest(convert_state_dict(ref_model.state_dict()))
+
+    vox = make_voxels(3, 1, 5, 32, 40, seed=9)
+    ours = rollout_ours(model, params, vox)
+    ref = rollout_ref(ref_model, [v.transpose(0, 3, 1, 2) for v in vox])
+    for o, r in zip(ours, ref):
+        np.testing.assert_allclose(o.transpose(0, 3, 1, 2), r, atol=1e-4)

@@ -116,3 +116,17 @@ def test_flownet_image_and_flow():
             np.testing.assert_allclose(
                 np.asarray(out["flow"]).transpose(0, 3, 1, 2),
                 ref_out["flow"].numpy(), atol=1e-4, err_msg=f"flow {t}")
+
+
+def test_batch_norm_variant():
+    """norm='BN': eval-mode running-stats BatchNorm in every ConvLayer
+    (submodules.py:19-23)."""
+    kw = dict(GRU_CONCAT_KW, norm="BN", skip_type="sum")
+    _compare(kw, seed=5)
+
+
+def test_instance_norm_variant():
+    """norm='IN': torch InstanceNorm2d (affine=False, no tracked stats by
+    default) in every ConvLayer."""
+    kw = dict(GRU_CONCAT_KW, norm="IN", skip_type="sum")
+    _compare(kw, seed=6)
