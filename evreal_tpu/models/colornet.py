@@ -37,6 +37,10 @@ class ColorRunner:
         self.params = params
         self.h, self.w = height, width
         self.voxel_stage = voxel_stage
+        # consumed by the harness loop (eval_method_on_sequence), which
+        # packs and dispatches chunk_t windows per compiled call; the color
+        # model runs 5 sub-passes per window, so default smaller than the
+        # grayscale runner's 32
         self.chunk_t = chunk_t
         enc = model.num_encoders
         self.crop_half = CropParams(width // 2, height // 2, enc)
@@ -94,11 +98,14 @@ class ColorRunner:
     def merge_host(self, cimgs, gimgs):
         """Per-frame host merge -> float32 HWC BGR in [0,1] (reference
         to_tensor semantics)."""
+        # one device->host transfer per tensor, not per frame*channel (the
+        # harness already passes numpy; this covers direct device callers)
+        cimgs = np.asarray(cimgs)
+        gimgs = np.asarray(gimgs)
         out = []
         for t in range(cimgs.shape[0]):
-            channels = {c: np.asarray(cimgs[t, i])
-                        for i, c in enumerate(COLOR_ORDER)}
-            channels["grayscale"] = np.asarray(gimgs[t])
+            channels = {c: cimgs[t, i] for i, c in enumerate(COLOR_ORDER)}
+            channels["grayscale"] = gimgs[t]
             bgr = merge_channels_into_color_image(channels)
             out.append(bgr.astype(np.float32) / 255.0)
         return out

@@ -50,7 +50,7 @@ class EITR:
         new_states = []
         for i in range(3):
             x, st = recurrent_conv_layer(
-                p["DownsampleConv"][str(i)], x, state[i], kernel_size=5,
+                p["DownsampleConv"][str(i)], x, state[i],
                 stride=2, padding=2, recurrent_block_type="convlstm",
                 activation="relu", norm=self.norm)
             blocks.append(x)

@@ -64,8 +64,11 @@ class FireNetLegacy:
         self.norm = None if norm in (None, "none") else str(norm)
         self.kernel_size = int(kernel_size)
         self.cell = str(recurrent_block_type)
-        self.recurrent_indices = (recurrent_blocks or {"resblock": [0]}).get(
-            "resblock", [])
+        # explicit {} must mean "no recurrent resblocks" (the reference's
+        # config.get default only applies to a *missing* key, legacy.py:167)
+        if recurrent_blocks is None:
+            recurrent_blocks = {"resblock": [0]}
+        self.recurrent_indices = recurrent_blocks.get("resblock", [])
 
     def _is_recurrent(self, i):
         return i in self.recurrent_indices or -1 in self.recurrent_indices
@@ -84,7 +87,7 @@ class FireNetLegacy:
         k = self.kernel_size
         new_state = {}
         x, new_state["head"] = recurrent_conv_layer(
-            net["head"], voxel, state["head"], kernel_size=k, stride=1,
+            net["head"], voxel, state["head"], stride=1,
             padding=k // 2, recurrent_block_type=self.cell, norm=self.norm)
         for i in range(self.num_residual_blocks):
             block = net["resblocks"][str(i)]

@@ -10,12 +10,6 @@ submodules.py:263-268).
 import numpy as np
 
 
-def _rng_chain(seed):
-    rng = np.random.default_rng(seed)
-    while True:
-        yield rng
-
-
 def _kaiming_uniform(rng, shape_hwio, gain_a=np.sqrt(5)):
     """torch Conv2d default: kaiming_uniform_(a=sqrt(5)) -> bound =
     gain * sqrt(3/fan_in) with gain = sqrt(2/(1+a^2)), i.e. 1/sqrt(fan_in)."""

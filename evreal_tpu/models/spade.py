@@ -79,9 +79,12 @@ class SpadeE2vid:
         p = params
         # First-frame x_org: min/max-normalized first 3 bins; this mutates the
         # head input too (reference in-place view semantics).
+        # per-sample reduction (axis 0 is batch): the reference always runs
+        # batch 1 (spade_e2v.py:147-153), and the batched/color paths rely
+        # on batch equivariance — a whole-batch min/max would couple lanes
         first3 = voxel[..., :3]
-        shifted = first3 - jnp.min(first3)
-        mx = jnp.max(shifted)
+        shifted = first3 - jnp.min(first3, axis=(1, 2, 3), keepdims=True)
+        mx = jnp.max(shifted, axis=(1, 2, 3), keepdims=True)
         norm3 = jnp.where(mx > 0, shifted / jnp.where(mx > 0, mx, 1.0), shifted)
 
         init = state["initialized"]

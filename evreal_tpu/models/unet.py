@@ -83,7 +83,7 @@ class UNetRecurrentCore:
         new_states = []
         for i in range(self.num_encoders):
             x, st = recurrent_conv_layer(
-                p["encoders"][str(i)], x, cell_states[i], kernel_size=k,
+                p["encoders"][str(i)], x, cell_states[i],
                 stride=2, padding=pad, recurrent_block_type=self.cell,
                 activation="relu", norm=self.norm)
             blocks.append(x)
@@ -106,9 +106,7 @@ class UNetRecurrentCore:
 
         img = conv_layer(p["pred"], _skip(self.skip_type, x, head),
                          padding=0, activation=None, norm=self.norm)
-        act = activation_fn(self.final_activation
-                            if self.final_activation not in ("none", "")
-                            else None)
+        act = activation_fn(self.final_activation)  # maps ''/'none' to None
         if act is not None:
             img = act(img)
         return img, new_states

@@ -49,10 +49,14 @@ def conv_gru(p, x, state, *, kernel_size=3):
     return new, new
 
 
-def recurrent_conv_layer(p, x, state, *, kernel_size=3, stride=1, padding=0,
+def recurrent_conv_layer(p, x, state, *, stride=1, padding=0,
                          recurrent_block_type="convlstm", activation="relu",
                          norm=None):
-    """RecurrentConvLayer (submodules.py:130-149): ConvLayer -> cell."""
+    """RecurrentConvLayer (submodules.py:130-149): ConvLayer -> cell.
+
+    The conv's kernel is implicit in the weight shape (its padding is the
+    caller's ``padding``); the recurrent cell's gate kernel is always 3,
+    hardcoded like the reference (submodules.py:143)."""
     x = conv_layer(p["conv"], x, stride=stride, padding=padding,
                    activation=activation, norm=norm)
     if recurrent_block_type == "convlstm":

@@ -126,3 +126,33 @@ def test_firenet_legacy_recurrent_blocks_variant():
     ref = rollout_ref(ref_model, [v.transpose(0, 3, 1, 2) for v in vox])
     for o, r in zip(ours, ref):
         np.testing.assert_allclose(o.transpose(0, 3, 1, 2), r, atol=1e-4)
+
+
+def test_firenet_legacy_empty_recurrent_blocks():
+    """recurrent_blocks={} means NO recurrent resblocks (reference
+    config.get default only covers a missing key, legacy.py:167); a falsy-
+    dict fallback would fabricate a recurrent resblock 0 and KeyError on a
+    converted checkpoint."""
+    import torch
+
+    from evreal_tpu.convert import convert_state_dict
+    from evreal_tpu.models import build_model
+
+    torch.manual_seed(10)
+    legacy = ref_module("model.legacy")
+    cfg = {"num_bins": 5, "base_num_channels": 12, "kernel_size": 3,
+           "num_residual_blocks": 2, "recurrent_blocks": {},
+           "recurrent_block_type": "convgru"}
+    ref_model = legacy.FireNet_legacy(dict(cfg))
+    ref_model.eval()
+    ref_model.reset_states()
+
+    model = build_model("FireNet_legacy", dict(cfg))
+    assert model.recurrent_indices == []
+    params = nest(convert_state_dict(ref_model.state_dict()))
+
+    vox = make_voxels(2, 1, 5, 32, 40, seed=10)
+    ours = rollout_ours(model, params, vox)
+    ref = rollout_ref(ref_model, [v.transpose(0, 3, 1, 2) for v in vox])
+    for o, r in zip(ours, ref):
+        np.testing.assert_allclose(o.transpose(0, 3, 1, 2), r, atol=1e-4)

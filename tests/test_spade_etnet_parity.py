@@ -60,3 +60,37 @@ def test_etnet_parity():
     for t, (o, r) in enumerate(zip(ours, ref)):
         np.testing.assert_allclose(o.transpose(0, 3, 1, 2), r, atol=2e-4,
                                    err_msg=f"step {t}")
+
+
+def test_spade_batch_equivariance():
+    """The batched/color paths stack independent streams on the batch axis;
+    SPADE's first-frame min/max normalization must reduce per sample, not
+    over the whole batch (the reference always runs batch 1)."""
+    import torch
+
+    torch.manual_seed(6)
+    spade_mod = ref_module("model.spade_e2v")
+    ref_model = spade_mod.Unet6()
+    _randomize_running_stats(ref_model, seed=7)
+    params = nest(convert_state_dict(ref_model.state_dict()))
+    model = build_model("SpadeE2vid")
+
+    rng = np.random.default_rng(8)
+    # two streams with very different voxel ranges (scales the min/max)
+    v0 = rng.normal(0, 1, (1, 32, 40, 5)).astype(np.float32)
+    v1 = rng.normal(0, 10, (1, 32, 40, 5)).astype(np.float32)
+    both = np.concatenate([v0, v1])
+
+    def run(voxels, steps=2):
+        st = model.init_state(voxels.shape[0], 32, 40)
+        outs = []
+        for _ in range(steps):
+            out, st = model.apply(params, st, voxels)
+            outs.append(np.asarray(out["image"]))
+        return outs
+
+    o_batch = run(both)
+    o_sep0, o_sep1 = run(v0), run(v1)
+    for t in range(2):
+        np.testing.assert_allclose(o_batch[t][0], o_sep0[t][0], atol=1e-5)
+        np.testing.assert_allclose(o_batch[t][1], o_sep1[t][0], atol=1e-5)
