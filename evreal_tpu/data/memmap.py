@@ -59,9 +59,12 @@ class Sequence:
             self.frame_ts = []
             self.num_frames = 0
 
-        self.t = np.load(j("events_ts.npy"), mmap_mode="r").squeeze()
-        self.xy = np.load(j("events_xy.npy"), mmap_mode="r").squeeze()
-        self.p = np.load(j("events_p.npy"), mmap_mode="r").squeeze()
+        # reshape, not squeeze (reference dataset.py:248-250 squeezes, which
+        # collapses a single-event (1,2)/(1,1) file into an unusable shape);
+        # reshape of a C-contiguous memmap stays a lazy view
+        self.t = np.load(j("events_ts.npy"), mmap_mode="r").reshape(-1)
+        self.xy = np.load(j("events_xy.npy"), mmap_mode="r").reshape(-1, 2)
+        self.p = np.load(j("events_p.npy"), mmap_mode="r").reshape(-1)
         assert len(self.p) == len(self.xy) == len(self.t), \
             "Number of events, timestamps and coordinates do not match"
         assert len(self.frame_ts) == self.num_frames, \

@@ -21,7 +21,6 @@ import numpy as np
 from evreal_tpu.data.packing import bucket_capacity, pack_windows
 from evreal_tpu.harness.timers import DeviceTimer
 from evreal_tpu.metrics import registry as metric_registry
-from evreal_tpu.metrics.tracker import EvalMetricsTracker
 from evreal_tpu.ops.pad import CropParams
 
 
@@ -51,9 +50,15 @@ class BatchedRunner:
     """Compiled lockstep pipeline over a batch of n sequences."""
 
     def __init__(self, model, params, *, event_norm, post_norm, height,
-                 width, num_bins, n, chunk_t=32, mesh=None):
+                 width, num_bins, n, chunk_t=None, mesh=None):
         from evreal_tpu.harness.runner import (
-            default_voxelize_impl, make_voxel_stage)
+            DEFAULT_CHUNK_T,
+            default_voxelize_impl,
+            make_voxel_stage,
+        )
+
+        if chunk_t is None:  # honor EVREAL_CHUNK_T like the single-seq path
+            chunk_t = DEFAULT_CHUNK_T
         from evreal_tpu.ops.voxelize import voxelize_matmul, voxelize_scatter
 
         self.model = model
@@ -197,28 +202,28 @@ def eval_method_on_sequence_group(dataset_name, eval_config, method_name,
     seqs = [s["dataset"] for s in sequences]
     n = len(seqs)
     hist_eq = eval_config.get("histeq", "none")
-    save_images = eval_config.get("save_images", True)
     eval_infer_all = eval_config.get("eval_infer_all", False)
 
     specs = metric_registry.resolve(metrics)
     known = [s.name for s in specs]
     no_ref_names = tuple(s.name for s in specs if s.no_ref)
 
-    from evreal_tpu.metrics.tracker import (
-        load_completed,
-        resume_enabled,
-        resume_settings,
+    from evreal_tpu.harness.runner import (
+        check_resume,
+        gate_windows,
+        make_tracker,
+        sequence_output_dir,
     )
+    from evreal_tpu.metrics.tracker import resume_enabled, resume_settings
 
     settings = resume_settings(eval_config)
     if resume_enabled():
         finished, keep = {}, []
         for i, (s, seq) in enumerate(zip(sequences, seqs)):
-            output_dir = os.path.join("outputs", eval_config["name"],
-                                      dataset_name, s["name"], method_name)
-            expected = (known if seq.has_images
-                        else [m for m in known if m in no_ref_names])
-            done = load_completed(output_dir, expected, settings)
+            output_dir = sequence_output_dir(eval_config, dataset_name,
+                                             s["name"], method_name)
+            done = check_resume(output_dir, seq, known, no_ref_names,
+                                settings)
             if done is not None:
                 print(f"Skipping finished {output_dir} (EVREAL_RESUME)")
                 finished[i] = done
@@ -235,30 +240,14 @@ def eval_method_on_sequence_group(dataset_name, eval_config, method_name,
 
     trackers, procs, metas_all = [], [], []
     for s, seq in zip(sequences, seqs):
-        output_dir = os.path.join("outputs", eval_config["name"],
-                                  dataset_name, s["name"], method_name)
-        trackers.append(EvalMetricsTracker(
-            save_images=save_images,
-            save_processed_images=save_images and hist_eq != "none",
-            output_dir=output_dir, hist_eq=hist_eq,
-            quan_eval_metric_names=known,
-            quan_eval_start_time=s["start_time_s"],
-            quan_eval_end_time=s["end_time_s"],
-            quan_eval_ts_tol_ms=eval_config["ts_tol_ms"],
-            has_reference_frames=seq.has_images,
-            no_ref_metric_names=no_ref_names, run_settings=settings))
+        output_dir = sequence_output_dir(eval_config, dataset_name,
+                                         s["name"], method_name)
+        trackers.append(make_tracker(output_dir, eval_config, s, seq,
+                                     known, no_ref_names, settings))
         metas = seq.windows()
-        proc = []
-        for i, m in enumerate(metas):
-            ts = m["voxel_timestamp"]
-            if not eval_infer_all:
-                if ts < s["start_time_s"] - 10:
-                    continue
-                if ts > s["end_time_s"]:
-                    break
-            proc.append(i)
+        procs.append(gate_windows(metas, s["start_time_s"],
+                                  s["end_time_s"], eval_infer_all))
         metas_all.append(metas)
-        procs.append(proc)
 
     resolution = seqs[0].sensor_resolution
     mesh = get_eval_mesh()

@@ -71,7 +71,11 @@ def histogram_equalization(img, mode):
     if mode == "none" or mode is None:
         return img
     if mode == "global":
-        return equalize_global(img)
+        return equalize_global(img)  # shape-agnostic, like equalize_hist
+    if img.ndim == 3 and mode in ("clahe", "local"):
+        # the reference's clahe.apply / rank.equalize also reject 3-channel
+        # input (eval_metrics.py:332-344); fail with a clear message
+        raise ValueError(f"histeq '{mode}' supports grayscale images only")
     if mode == "clahe":
         return equalize_clahe(img)
     if mode == "local":

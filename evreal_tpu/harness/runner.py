@@ -177,6 +177,56 @@ def load_method_params(method_config):
     return load_params(path)
 
 
+def sequence_output_dir(eval_config, dataset_name, seq_name, method_name):
+    """outputs/<eval_cfg>/<dataset>/<sequence>/<method> (reference
+    eval.py:168)."""
+    return os.path.join("outputs", eval_config["name"], dataset_name,
+                        seq_name, method_name)
+
+
+def check_resume(output_dir, seq, known, no_ref_names, settings):
+    """EVREAL_RESUME: recorded (count, scores) for a finished output dir, or
+    None. Ref-less sequences only ever record no-ref metrics."""
+    from evreal_tpu.metrics.tracker import load_completed
+
+    expected = (known if seq.has_images
+                else [m for m in known if m in no_ref_names])
+    return load_completed(output_dir, expected, settings)
+
+
+def make_tracker(output_dir, eval_config, sequence, seq, known,
+                 no_ref_names, settings, color=False):
+    """Per-sequence EvalMetricsTracker with the shared argument wiring
+    (single-sequence and batched-group paths construct these in lockstep)."""
+    save_images = eval_config.get("save_images", True)
+    hist_eq = eval_config.get("histeq", "none")
+    return EvalMetricsTracker(
+        save_images=save_images,
+        save_processed_images=save_images and hist_eq != "none",
+        output_dir=output_dir, hist_eq=hist_eq,
+        quan_eval_metric_names=known,
+        quan_eval_start_time=sequence["start_time_s"],
+        quan_eval_end_time=sequence["end_time_s"],
+        quan_eval_ts_tol_ms=eval_config["ts_tol_ms"],
+        has_reference_frames=seq.has_images, color=color,
+        no_ref_metric_names=no_ref_names, run_settings=settings)
+
+
+def gate_windows(metas, start, end, eval_infer_all):
+    """Window indices to process (reference eval.py:212-216: skip while
+    voxel_ts < start-10s, stop past end; eval_infer_all disables the cut)."""
+    proc = []
+    for i, m in enumerate(metas):
+        ts = m["voxel_timestamp"]
+        if not eval_infer_all:
+            if ts < start - 10:
+                continue
+            if ts > end:
+                break
+        proc.append(i)
+    return proc
+
+
 def fence(tree):
     """Synchronize every array in the tree by *value fetch* —
     ``block_until_ready`` has been observed returning early on the axon TPU
@@ -211,8 +261,13 @@ def make_metric_containment(runner, scope):
             if s.name in dead:
                 continue
             try:
-                out[s.name] = np.asarray(
-                    runner.metric_scores([s], imgs_dev, refs_dev)[s.name])
+                scores = runner.metric_scores([s], imgs_dev, refs_dev)
+                if s.name not in scores:
+                    # dropped by trace-time validation inside metric_scores,
+                    # which already printed the real reason
+                    dead.add(s.name)
+                    continue
+                out[s.name] = np.asarray(scores[s.name])
             except Exception as exc:  # noqa: BLE001
                 dead.add(s.name)
                 lines = str(exc).strip().splitlines()
@@ -425,54 +480,31 @@ def eval_method_on_sequence(dataset_name, eval_config, method_name, bundle,
                             method_config, sequence, metrics):
     seq = sequence["dataset"]
     color = eval_config.get("color", False)
-    save_images = eval_config.get("save_images", True)
     hist_eq = eval_config.get("histeq", "none")
-    output_dir = os.path.join("outputs", eval_config["name"], dataset_name,
-                              sequence["name"], method_name)
+    output_dir = sequence_output_dir(eval_config, dataset_name,
+                                     sequence["name"], method_name)
 
     specs = metric_registry.resolve(metrics)
     known = [s.name for s in specs]
     no_ref_names = tuple(s.name for s in specs if s.no_ref)
 
-    from evreal_tpu.metrics.tracker import (
-        load_completed,
-        resume_enabled,
-        resume_settings,
-    )
+    from evreal_tpu.metrics.tracker import resume_enabled, resume_settings
 
     settings = resume_settings(eval_config)
     if resume_enabled():
-        expected = (known if seq.has_images
-                    else [m for m in known if m in no_ref_names])
-        done = load_completed(output_dir, expected, settings)
+        done = check_resume(output_dir, seq, known, no_ref_names, settings)
         if done is not None:
             print(f"Skipping finished {output_dir} (EVREAL_RESUME)")
             return done
 
-    tracker = EvalMetricsTracker(
-        save_images=save_images,
-        save_processed_images=save_images and hist_eq != "none",
-        output_dir=output_dir, hist_eq=hist_eq,
-        quan_eval_metric_names=known,
-        quan_eval_start_time=sequence["start_time_s"],
-        quan_eval_end_time=sequence["end_time_s"],
-        quan_eval_ts_tol_ms=eval_config["ts_tol_ms"],
-        has_reference_frames=seq.has_images, color=color,
-        no_ref_metric_names=no_ref_names, run_settings=settings)
+    tracker = make_tracker(output_dir, eval_config, sequence, seq, known,
+                           no_ref_names, settings, color=color)
 
     eval_infer_all = eval_config.get("eval_infer_all", False)
     start, end = sequence["start_time_s"], sequence["end_time_s"]
 
     metas_all = seq.windows()
-    proc = []
-    for i, m in enumerate(metas_all):
-        ts = m["voxel_timestamp"]
-        if not eval_infer_all:
-            if ts < start - 10:
-                continue  # reference eval.py:212-213
-            if ts > end:
-                break  # reference eval.py:214-216
-        proc.append(i)
+    proc = gate_windows(metas_all, start, end, eval_infer_all)
 
     if color:
         runner = bundle.color_runner_for(seq.sensor_resolution,
@@ -494,7 +526,8 @@ def eval_method_on_sequence(dataset_name, eval_config, method_name, bundle,
     # Event buffers come from a rotated pool (see the batched runner for the
     # sizing argument): fresh per-chunk allocations cost a page fault per
     # touched page on this 1-core host.
-    n_pools = PIPELINE_DEPTH + 1
+    n_chunks = -(-len(proc) // chunk_t) if proc else 0
+    n_pools = min(PIPELINE_DEPTH, max(n_chunks, 1)) + 1
     xy_dtype = (np.int16 if np.issubdtype(seq.xy.dtype, np.integer)
                 else np.float32)
     buf_pool = [{"xs": np.zeros((chunk_t, capacity), xy_dtype),
@@ -528,9 +561,14 @@ def eval_method_on_sequence(dataset_name, eval_config, method_name, bundle,
                                        np.asarray(gimgs)[:valid_t])
             for j, (i, meta) in enumerate(zip(chunk, metas)):
                 img = post_process_normalization_np(merged[j], post_norm)
+                # the reference hist-equalizes color frames too and saves
+                # them under _processed (eval_metrics.py:260-266)
+                proc = (histeq_mod.histogram_equalization(
+                    np.clip(img, 0, 1), hist_eq)
+                    if hist_eq != "none" else None)
                 tracker.update(i, img, None, meta["voxel_timestamp"],
                                meta["frame_timestamp"] if seq.has_images
-                               else None, scores=None)
+                               else None, scores=None, processed_img=proc)
                 rate = (0 if meta["event_count"] <= 1 or meta["dt"] == 0
                         else meta["event_count"] / meta["dt"])
                 tracker.save_custom_metric(i, "event_rate", rate)

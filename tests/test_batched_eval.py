@@ -153,3 +153,19 @@ def test_batched_group_with_mixed_gt_availability(seq_dirs, tmp_path,
     assert list((base / "no_gt" / "FireNet+").glob("frame_*.png"))
     assert not (base / "no_gt" / "FireNet+" / "mse.txt").exists() or \
         (base / "no_gt" / "FireNet+" / "mse.txt").read_text() == ""
+
+
+def test_batched_runner_honors_chunk_t_env():
+    """BatchedRunner defaults to the EVREAL_CHUNK_T-derived DEFAULT_CHUNK_T
+    (it used to hardcode 32, silently ignoring the documented knob)."""
+    from evreal_tpu.harness import runner as runner_mod
+    from evreal_tpu.harness.batched import BatchedRunner
+    from evreal_tpu.models import build_model
+    from evreal_tpu.models.init import init_firenet
+
+    model = build_model("FireNet", {"num_bins": 5, "base_num_channels": 8,
+                                    "kernel_size": 3})
+    r = BatchedRunner(model, init_firenet(base_num_channels=8),
+                      event_norm=False, post_norm="none", height=32,
+                      width=40, num_bins=5, n=2)
+    assert r.chunk_t == runner_mod.DEFAULT_CHUNK_T

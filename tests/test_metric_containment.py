@@ -145,3 +145,24 @@ def test_metric_program_compiles_once_per_sequence(seq_dir, tmp_path,
         _sequence(seq_dir), ["mse", "ssim"])
     assert mean_scores["mse"] == pytest.approx(mean2["mse"], abs=1e-6)
     assert mean_scores["ssim"] == pytest.approx(mean2["ssim"], abs=1e-6)
+
+
+def test_color_histeq_writes_processed_images(seq_dir, tmp_path,
+                                              monkeypatch):
+    """Color eval with histeq must hist-equalize merged frames and save
+    them under _processed like the reference (eval_metrics.py:260-266); it
+    used to leave the _processed tree silently empty."""
+    monkeypatch.chdir(tmp_path)
+    from evreal_tpu.harness.runner import eval_method_on_sequence
+
+    cfg = dict(EVAL_CONFIG, color=True, histeq="global", save_images=True)
+    bundle = FakeBundle("FireNet+")
+    eval_method_on_sequence("SYN", cfg, "FireNet+", bundle, METHOD_CONFIG,
+                            _sequence(seq_dir), ["mse"])
+    proc_dir = (tmp_path / "outputs" / "std" / "SYN" / "seq0" /
+                "FireNet+_processed")
+    pngs = list(proc_dir.glob("frame_*.png")) if proc_dir.exists() else []
+    if not pngs:  # the tracker may use a nested layout; search broadly
+        pngs = [p for p in (tmp_path / "outputs").rglob("frame_*.png")
+                if "processed" in str(p)]
+    assert pngs, "no processed PNGs written for color+histeq"
