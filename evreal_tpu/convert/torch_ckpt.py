@@ -94,9 +94,19 @@ def nest(flat):
     return tree
 
 
+def _sidecar_path(path):
+    """Meta sidecar next to the array file: '<file>.npz.json'. save_params
+    may get a base path (np.savez appends '.npz') while load_params gets
+    the '.npz' path — normalize so both agree on the same sidecar."""
+    s = str(path)
+    if not s.endswith(".npz"):
+        s += ".npz"
+    return s + ".json"
+
+
 def save_params(path, flat, meta):
     np.savez(path, **flat)
-    with open(str(path) + ".json", "w", encoding="utf-8") as f:
+    with open(_sidecar_path(path), "w", encoding="utf-8") as f:
         json.dump(meta, f, indent=1)
 
 
@@ -107,10 +117,13 @@ def load_params(path):
     data = np.load(path)
     flat = {k: jnp.asarray(data[k]) for k in data.files}
     try:
-        with open(str(path) + ".json", encoding="utf-8") as f:
+        with open(_sidecar_path(path), encoding="utf-8") as f:
             meta = json.load(f)
     except FileNotFoundError:
-        meta = {}
+        raise FileNotFoundError(
+            f"missing meta sidecar {_sidecar_path(path)} for {path} — "
+            f"the model class/kwargs cannot be recovered; re-run the "
+            f"conversion (save_params writes both files)") from None
     return nest(flat), meta
 
 

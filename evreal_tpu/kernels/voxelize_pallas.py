@@ -136,7 +136,7 @@ def _batched_kernel(rows_lo_ref, rows_hi_ref, wlo_ref, whi_ref, cols_ref,
     w = out_ref.shape[2]
     rows_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, bh), 1)
     cols_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, w), 1)
-    for t in range(_TW):  # static unroll: _TW dots per grid step
+    for t in range(rows_lo_ref.shape[0]):  # static unroll: tw dots/step
         rl = rows_lo_ref[t, :]
         rh = rows_hi_ref[t, :]
         oh_rows = ((rows_iota == rl[:, None]).astype(jnp.float32)
@@ -177,10 +177,19 @@ def voxelize_pallas_windows(xs, ys, ts, ps, count, num_bins, sensor_size,
     row_lo, row_hi, w_lo, w_hi, cols = jax.vmap(prep_one)(xs, ys, ts, ps,
                                                           count)
 
+    # windows per grid step: the (tw, B*H, W) output block stays resident
+    # in VMEM, so shrink tw for large sensors (MVSEC 346x260 at tw=8 is
+    # ~14.4 MB out block + one-hot temporaries — over the ~16 MB VMEM);
+    # budget ~8 MB for the block, floor at 1
+    bh = num_bins * h
+    tw = _TW
+    while tw > 1 and tw * bh * w * 4 > 8 * 1024 * 1024:
+        tw //= 2
+
     chunk = min(chunk, e)
     n_chunks = -(-e // chunk)
     pad_e = n_chunks * chunk - e
-    pad_t = (-t_n) % _TW
+    pad_t = (-t_n) % tw
 
     def pad2(a):
         if pad_t or pad_e:
@@ -189,14 +198,13 @@ def voxelize_pallas_windows(xs, ys, ts, ps, count, num_bins, sensor_size,
 
     args = tuple(map(pad2, (row_lo, row_hi, w_lo, w_hi, cols)))
     tp = t_n + pad_t
-    bh = num_bins * h
 
     out = pl.pallas_call(
         _batched_kernel,
-        grid=(tp // _TW, n_chunks),
-        in_specs=[pl.BlockSpec((_TW, chunk), lambda i, j: (i, j),
+        grid=(tp // tw, n_chunks),
+        in_specs=[pl.BlockSpec((tw, chunk), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM)] * 5,
-        out_specs=pl.BlockSpec((_TW, bh, w), lambda i, j: (i, 0, 0),
+        out_specs=pl.BlockSpec((tw, bh, w), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((tp, bh, w), jnp.float32),
         interpret=interpret,

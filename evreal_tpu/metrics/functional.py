@@ -63,4 +63,6 @@ def ssim(img, ref, data_range=1.0, sigma=1.5, truncate=3.5, k1=0.01, k2=0.03):
     s = ((2 * ux * uy + c1) * (2 * vxy + c2)) / (
         (ux * ux + uy * uy + c1) * (vx + vy + c2))
     pad = radius  # (win_size - 1) // 2 with win_size = 2*radius + 1
+    if pad == 0:  # tiny sigma/truncate: s[0:-0] would be an empty slice
+        return jnp.mean(s)
     return jnp.mean(s[pad:-pad, pad:-pad])

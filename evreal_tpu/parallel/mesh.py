@@ -30,12 +30,14 @@ def make_mesh(n_devices=None, axes=("dp", "sp"), devices=None):
     if len(axes) == 1:
         shape = (n,)
     else:
-        # one factor of 2 to each non-dp axis while available; dp absorbs
-        # the remainder (largest share): 8 devices, (dp,sp,tp) -> (2,2,2)
+        # one factor of 2 to each non-dp axis, but only while dp would keep
+        # at least an equal share — dp (the batch axis) must never end up
+        # smaller than the axes it feeds: 2 devices -> (2,1,1),
+        # 4 -> (2,2,1), 8 -> (2,2,2), 16 -> (4,2,2)
         shape = [1] * len(axes)
         m = n
         for i in range(1, len(axes)):
-            if m % 2 == 0 and m // 2 >= 1:
+            if m % 2 == 0 and m // 2 >= 2:
                 shape[i] = 2
                 m //= 2
         shape[0] = m

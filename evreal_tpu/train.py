@@ -27,8 +27,11 @@ from evreal_tpu.parallel.mesh import batch_sharding
 
 
 def sequence_loss(model, params, voxels, frames, remat=True, loss="mse",
-                  lpips_weights=None, lpips_scale=1.0):
-    """Scanned-chunk loss. voxels: (N,T,H,W,B); frames: (N,T,H,W).
+                  lpips_weights=None, lpips_scale=1.0, mask=None):
+    """Scanned-chunk loss. voxels: (N,T,H,W,B); frames: (N,T,H,W);
+    mask: optional (N,T) per-window validity (1=real window) — zero-padded
+    tail windows of short sequences must not be scored against black frames
+    (their gradient pulls the model toward outputting black).
 
     ``loss``: '+'-joined terms from {mse, lpips}. The LPIPS term runs the
     metric port (metrics/lpips.py — pure jnp convs, fully differentiable)
@@ -56,14 +59,18 @@ def sequence_loss(model, params, voxels, frames, remat=True, loss="mse",
     _, imgs = jax.lax.scan(step, state, jnp.moveaxis(voxels, 1, 0))
     imgs = jnp.moveaxis(imgs, 0, 1)  # (N, T, H, W)
     total = 0.0
+    m = jnp.ones((n, t), voxels.dtype) if mask is None \
+        else mask.astype(voxels.dtype)
+    denom = jnp.maximum(jnp.sum(m), 1.0)
     if "mse" in parts:
-        total = total + jnp.mean((imgs - frames) ** 2)
+        per_frame = jnp.mean((imgs - frames) ** 2, axis=(2, 3))  # (N, T)
+        total = total + jnp.sum(per_frame * m) / denom
     if "lpips" in parts:
         from evreal_tpu.metrics.lpips import lpips as lpips_fn
 
         d = lpips_fn(lpips_weights, imgs.reshape(n * t, h, w),
                      frames.reshape(n * t, h, w))
-        total = total + lpips_scale * jnp.mean(d)
+        total = total + lpips_scale * jnp.sum(d * m.reshape(-1)) / denom
     return total
 
 
@@ -99,16 +106,25 @@ def make_train_step(model, optimizer=None, mesh=None, remat=True,
         optimizer = optax.adam(1e-4)
 
     def train_step(params, opt_state, batch):
+        from evreal_tpu.harness.runner import matmul_precision_ctx
+
         voxels, frames = batch["voxels"], batch["frames"]
+        mask = batch.get("mask")
         if mesh is not None:
             voxels = jax.lax.with_sharding_constraint(
                 voxels, batch_sharding(mesh, voxels.ndim, 0, 3))
             frames = jax.lax.with_sharding_constraint(
                 frames, batch_sharding(mesh, frames.ndim, 0, 3))
-        loss_val, grads = jax.value_and_grad(
-            lambda p: sequence_loss(model, p, voxels, frames, remat,
-                                    loss=loss, lpips_weights=lpips_weights,
-                                    lpips_scale=lpips_scale))(params)
+        # pin matmul precision like every eval pipeline: the backend default
+        # is a single bf16 pass on real TPU, which would train against a
+        # forward function different from the one eval runs (measured drift
+        # up to 7.5e-3 on FireNet reconstructions, runner docstring)
+        with matmul_precision_ctx(voxels.dtype):
+            loss_val, grads = jax.value_and_grad(
+                lambda p: sequence_loss(
+                    model, p, voxels, frames, remat, loss=loss,
+                    lpips_weights=lpips_weights, lpips_scale=lpips_scale,
+                    mask=mask))(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss_val

@@ -47,6 +47,7 @@ def sample_batch(seqs, voxelize, rng, batch, chunk_t, num_bins, crop):
     h, w = crop.height, crop.width
     voxels = np.zeros((batch, chunk_t, ph, pw, num_bins), np.float32)
     frames = np.zeros((batch, chunk_t, ph, pw), np.float32)
+    mask = np.zeros((batch, chunk_t), np.float32)
     for b in range(batch):
         seq = seqs[rng.integers(len(seqs))]
         start = int(rng.integers(max(len(seq) - chunk_t, 1)))
@@ -58,7 +59,8 @@ def sample_batch(seqs, voxelize, rng, batch, chunk_t, num_bins, crop):
             if meta["frame_index"] is not None:
                 frames[b, t, pt:pt + h, pl:pl + w] = seq.frame(
                     meta["frame_index"])
-    return {"voxels": voxels, "frames": frames}
+                mask[b, t] = 1.0  # only real windows with a GT frame score
+    return {"voxels": voxels, "frames": frames, "mask": mask}
 
 
 def main(argv=None):

@@ -143,3 +143,24 @@ def test_all_eight_methods(tmp_path, monkeypatch, capsys):
         for row in rows:
             val = float(row.split()[1])
             assert np.isfinite(val), (method, row)
+
+
+def test_save_load_params_sidecar_roundtrip(tmp_path):
+    """save_params/load_params agree on the sidecar path whether or not the
+    caller includes '.npz'; a missing sidecar fails loudly (it used to
+    silently return meta={} and lose the model class)."""
+    import pytest
+
+    from evreal_tpu.convert.torch_ckpt import load_params, save_params
+
+    flat = {"a.weight": np.ones((2, 2), np.float32)}
+    meta = {"class": "FireNet", "kwargs": {"num_bins": 5}}
+    for base in ("ckpt_a", "ckpt_b.npz"):
+        save_params(str(tmp_path / base), flat, meta)
+        name = base if base.endswith(".npz") else base + ".npz"
+        tree, got = load_params(str(tmp_path / name))
+        assert got == meta
+
+    np.savez(tmp_path / "bare", **flat)
+    with pytest.raises(FileNotFoundError, match="sidecar"):
+        load_params(str(tmp_path / "bare.npz"))

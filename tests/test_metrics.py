@@ -75,3 +75,18 @@ def test_broken_metric_is_dropped_not_fatal(capsys):
     out = runner.metric_scores(specs, imgs, imgs)
     assert set(out) == {"mse"}
     assert "broken" in capsys.readouterr().out
+
+
+def test_ssim_tiny_sigma_finite():
+    """radius=0 (sigma <= 1/7 at default truncate) must not produce an
+    empty-slice NaN."""
+    import jax.numpy as jnp
+
+    from evreal_tpu.metrics.functional import ssim
+
+    import pytest
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.random((16, 16), dtype=np.float64).astype(np.float32))
+    v = float(ssim(a, a, sigma=0.1))
+    assert np.isfinite(v) and v == pytest.approx(1.0, abs=1e-5)

@@ -84,3 +84,28 @@ def test_pallas_windows_through_voxel_stage():
     np.testing.assert_allclose(
         np.asarray(stage_p(xs, ys, ts, ps, count)),
         np.asarray(stage_s(xs, ys, ts, ps, count)), atol=2e-5)
+
+
+def test_pallas_windows_large_sensor_tile_shrink():
+    """Sensors whose (8, B*H, W) block would overflow VMEM shrink the
+    window tile; interpret mode checks the math stays right."""
+    import jax.numpy as jnp
+
+    from evreal_tpu.kernels.voxelize_pallas import voxelize_pallas_windows
+    from evreal_tpu.ops.voxelize import voxelize_matmul
+
+    h, w, b, t_n, cap = 260, 346, 5, 3, 256  # MVSEC resolution
+    rng = np.random.default_rng(0)
+    xs = rng.integers(0, w, (t_n, cap)).astype(np.float32)
+    ys = rng.integers(0, h, (t_n, cap)).astype(np.float32)
+    ts = np.sort(rng.uniform(0, 0.05, (t_n, cap)), axis=1).astype(np.float32)
+    ps = (rng.integers(0, 2, (t_n, cap)) * 2 - 1).astype(np.float32)
+    count = np.full((t_n,), 200, np.int32)
+
+    got = np.asarray(voxelize_pallas_windows(
+        jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(ts), jnp.asarray(ps),
+        jnp.asarray(count), b, (h, w), interpret=True))
+    want = np.stack([np.asarray(voxelize_matmul(
+        xs[i], ys[i], ts[i], ps[i], count[i], b, (h, w)))
+        for i in range(t_n)])
+    np.testing.assert_allclose(got, want, atol=2e-5)

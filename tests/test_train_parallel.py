@@ -182,3 +182,49 @@ def test_build_optimizer_variants():
         build_optimizer(schedule="cosine")
     with pytest.raises(ValueError, match="unknown schedule"):
         build_optimizer(schedule="linear")
+
+
+def test_sequence_loss_masks_padded_tail():
+    """Zero-padded tail windows (short sequences) must not be scored
+    against black frames."""
+    import jax.numpy as jnp
+
+    from evreal_tpu.models import build_model
+    from evreal_tpu.models.init import init_firenet
+    from evreal_tpu.train import sequence_loss
+
+    model = build_model("FireNet", {"num_bins": 5, "base_num_channels": 8,
+                                    "kernel_size": 3})
+    params = init_firenet(base_num_channels=8)
+    rng = np.random.default_rng(0)
+    vox = np.zeros((1, 4, 16, 16, 5), np.float32)
+    frames = np.zeros((1, 4, 16, 16), np.float32)
+    vox[:, :2] = rng.normal(0, 1, (1, 2, 16, 16, 5))
+    frames[:, :2] = rng.uniform(0, 1, (1, 2, 16, 16))
+    mask = np.array([[1, 1, 0, 0]], np.float32)
+
+    masked = float(sequence_loss(model, params, jnp.asarray(vox),
+                                 jnp.asarray(frames), remat=False,
+                                 mask=jnp.asarray(mask)))
+    # ground truth: loss over only the two real windows
+    short = float(sequence_loss(model, params, jnp.asarray(vox[:, :2]),
+                                jnp.asarray(frames[:, :2]), remat=False))
+    assert masked == pytest.approx(short, rel=1e-6)
+    # unmasked loss differs (it scores the black tail)
+    full = float(sequence_loss(model, params, jnp.asarray(vox),
+                               jnp.asarray(frames), remat=False))
+    assert full != pytest.approx(short, rel=1e-4)
+
+
+def test_make_mesh_dp_gets_largest_factor():
+    import jax
+
+    from evreal_tpu.parallel.mesh import make_mesh
+
+    devs = jax.devices("cpu")
+    assert make_mesh(2, axes=("dp", "sp", "tp"),
+                     devices=devs).shape == {"dp": 2, "sp": 1, "tp": 1}
+    assert make_mesh(4, axes=("dp", "sp", "tp"),
+                     devices=devs).shape == {"dp": 2, "sp": 2, "tp": 1}
+    assert make_mesh(8, axes=("dp", "sp", "tp"),
+                     devices=devs).shape == {"dp": 2, "sp": 2, "tp": 2}
