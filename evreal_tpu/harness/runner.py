@@ -174,7 +174,21 @@ def load_method_params(method_config):
         except OSError:
             pass
         return nest(flat), meta
-    return load_params(path)
+    try:
+        return load_params(path)
+    except FileNotFoundError:
+        # cached .npz without its meta sidecar (e.g. the sidecar write
+        # failed on a previous run): re-convert from the .pth if present
+        # rather than staying permanently broken
+        pth = os.path.splitext(path)[0] + ".pth"
+        if not os.path.exists(pth):
+            raise
+        flat, meta = load_method_checkpoint(method_config["model_name"], pth)
+        try:
+            save_params(path, flat, meta)
+        except OSError:
+            pass
+        return nest(flat), meta
 
 
 def sequence_output_dir(eval_config, dataset_name, seq_name, method_name):

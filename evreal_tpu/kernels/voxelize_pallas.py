@@ -119,6 +119,17 @@ def voxelize(xs, ys, ts, ps, count, num_bins=5, sensor_size=(180, 240),
 _TW = 8  # windows per grid step (sublane-aligned for the (8,128) f32 tile)
 
 
+def _window_tile(bh, w, budget=8 * 1024 * 1024, max_tw=_TW):
+    """Windows per grid step for the batched kernel: the (tw, bh, w) f32
+    output block stays resident in VMEM, so shrink tw for large sensors
+    (MVSEC 346x260 at tw=8 is ~14.4 MB — over the ~16 MB VMEM once one-hot
+    temporaries are added). ~8 MB budget, floor 1."""
+    tw = max_tw
+    while tw > 1 and tw * bh * w * 4 > budget:
+        tw //= 2
+    return tw
+
+
 def _batched_kernel(rows_lo_ref, rows_hi_ref, wlo_ref, whi_ref, cols_ref,
                     out_ref):
     """Grid (T//_TW, n_chunks); event chunks are the innermost dimension, so
@@ -177,14 +188,8 @@ def voxelize_pallas_windows(xs, ys, ts, ps, count, num_bins, sensor_size,
     row_lo, row_hi, w_lo, w_hi, cols = jax.vmap(prep_one)(xs, ys, ts, ps,
                                                           count)
 
-    # windows per grid step: the (tw, B*H, W) output block stays resident
-    # in VMEM, so shrink tw for large sensors (MVSEC 346x260 at tw=8 is
-    # ~14.4 MB out block + one-hot temporaries — over the ~16 MB VMEM);
-    # budget ~8 MB for the block, floor at 1
     bh = num_bins * h
-    tw = _TW
-    while tw > 1 and tw * bh * w * 4 > 8 * 1024 * 1024:
-        tw //= 2
+    tw = _window_tile(bh, w)
 
     chunk = min(chunk, e)
     n_chunks = -(-e // chunk)

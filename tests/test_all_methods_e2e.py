@@ -149,8 +149,6 @@ def test_save_load_params_sidecar_roundtrip(tmp_path):
     """save_params/load_params agree on the sidecar path whether or not the
     caller includes '.npz'; a missing sidecar fails loudly (it used to
     silently return meta={} and lose the model class)."""
-    import pytest
-
     from evreal_tpu.convert.torch_ckpt import load_params, save_params
 
     flat = {"a.weight": np.ones((2, 2), np.float32)}
@@ -160,6 +158,8 @@ def test_save_load_params_sidecar_roundtrip(tmp_path):
         name = base if base.endswith(".npz") else base + ".npz"
         tree, got = load_params(str(tmp_path / name))
         assert got == meta
+        np.testing.assert_array_equal(np.asarray(tree["a"]["weight"]),
+                                      flat["a.weight"])
 
     np.savez(tmp_path / "bare", **flat)
     with pytest.raises(FileNotFoundError, match="sidecar"):

@@ -4,6 +4,7 @@ use_sample_covariance=False, data_range=1.0; skimage is not installed here,
 but it delegates to scipy.ndimage.gaussian_filter which is)."""
 
 import numpy as np
+import pytest
 
 from evreal_tpu.metrics.functional import mse, ssim
 
@@ -81,10 +82,6 @@ def test_ssim_tiny_sigma_finite():
     """radius=0 (sigma <= 1/7 at default truncate) must not produce an
     empty-slice NaN."""
     import jax.numpy as jnp
-
-    from evreal_tpu.metrics.functional import ssim
-
-    import pytest
 
     rng = np.random.default_rng(0)
     a = jnp.asarray(rng.random((16, 16), dtype=np.float64).astype(np.float32))

@@ -91,10 +91,14 @@ def test_pallas_windows_large_sensor_tile_shrink():
     window tile; interpret mode checks the math stays right."""
     import jax.numpy as jnp
 
-    from evreal_tpu.kernels.voxelize_pallas import voxelize_pallas_windows
+    from evreal_tpu.kernels.voxelize_pallas import (
+        _window_tile,
+        voxelize_pallas_windows,
+    )
     from evreal_tpu.ops.voxelize import voxelize_matmul
 
     h, w, b, t_n, cap = 260, 346, 5, 3, 256  # MVSEC resolution
+    assert _window_tile(b * h, w) == 4  # the tile actually shrank
     rng = np.random.default_rng(0)
     xs = rng.integers(0, w, (t_n, cap)).astype(np.float32)
     ys = rng.integers(0, h, (t_n, cap)).astype(np.float32)

@@ -91,6 +91,11 @@ def test_mesh_factorization():
         "dp": 2, "sp": 2, "tp": 2}
     assert dict(make_mesh(4, ("dp", "sp"), CPU).shape) == {"dp": 2, "sp": 2}
     assert dict(make_mesh(1, ("dp", "sp"), CPU).shape) == {"dp": 1, "sp": 1}
+    # dp (the batch axis) never gets a smaller factor than the other axes
+    assert dict(make_mesh(2, ("dp", "sp", "tp"), CPU).shape) == {
+        "dp": 2, "sp": 1, "tp": 1}
+    assert dict(make_mesh(4, ("dp", "sp", "tp"), CPU).shape) == {
+        "dp": 2, "sp": 2, "tp": 1}
 
 
 def test_perceptual_loss_trains():
@@ -184,47 +189,74 @@ def test_build_optimizer_variants():
         build_optimizer(schedule="linear")
 
 
-def test_sequence_loss_masks_padded_tail():
+@pytest.mark.parametrize("loss_kind", ["mse", "mse+lpips"])
+def test_sequence_loss_masks_padded_tail(loss_kind):
     """Zero-padded tail windows (short sequences) must not be scored
-    against black frames."""
+    against black frames — through both the MSE and LPIPS terms."""
     import jax.numpy as jnp
 
-    from evreal_tpu.models import build_model
-    from evreal_tpu.models.init import init_firenet
     from evreal_tpu.train import sequence_loss
+
+    from .test_lpips_parity import _random_weights
+
+    lw = None
+    if "lpips" in loss_kind:
+        lw = {k: (v.transpose(2, 3, 1, 0) if v.ndim == 4 else v)
+              for k, v in _random_weights(np.random.default_rng(3)).items()}
 
     model = build_model("FireNet", {"num_bins": 5, "base_num_channels": 8,
                                     "kernel_size": 3})
     params = init_firenet(base_num_channels=8)
     rng = np.random.default_rng(0)
-    vox = np.zeros((1, 4, 16, 16, 5), np.float32)
-    frames = np.zeros((1, 4, 16, 16), np.float32)
-    vox[:, :2] = rng.normal(0, 1, (1, 2, 16, 16, 5))
-    frames[:, :2] = rng.uniform(0, 1, (1, 2, 16, 16))
+    vox = np.zeros((1, 4, 48, 64, 5), np.float32)
+    frames = np.zeros((1, 4, 48, 64), np.float32)
+    vox[:, :2] = rng.normal(0, 1, (1, 2, 48, 64, 5))
+    frames[:, :2] = rng.uniform(0, 1, (1, 2, 48, 64))
     mask = np.array([[1, 1, 0, 0]], np.float32)
 
+    kw = dict(remat=False, loss=loss_kind, lpips_weights=lw)
     masked = float(sequence_loss(model, params, jnp.asarray(vox),
-                                 jnp.asarray(frames), remat=False,
-                                 mask=jnp.asarray(mask)))
+                                 jnp.asarray(frames),
+                                 mask=jnp.asarray(mask), **kw))
     # ground truth: loss over only the two real windows
     short = float(sequence_loss(model, params, jnp.asarray(vox[:, :2]),
-                                jnp.asarray(frames[:, :2]), remat=False))
-    assert masked == pytest.approx(short, rel=1e-6)
+                                jnp.asarray(frames[:, :2]), **kw))
+    assert masked == pytest.approx(short, rel=1e-5)
     # unmasked loss differs (it scores the black tail)
     full = float(sequence_loss(model, params, jnp.asarray(vox),
-                               jnp.asarray(frames), remat=False))
+                               jnp.asarray(frames), **kw))
     assert full != pytest.approx(short, rel=1e-4)
 
 
-def test_make_mesh_dp_gets_largest_factor():
-    import jax
+def test_sample_batch_emits_gt_mask(tmp_path):
+    """sample_batch must mark only windows with a GT frame as valid."""
+    import sys
 
-    from evreal_tpu.parallel.mesh import make_mesh
+    sys.path.insert(0, "/root/repo/tools")
+    from make_synthetic_sequence import make_sequence
 
-    devs = jax.devices("cpu")
-    assert make_mesh(2, axes=("dp", "sp", "tp"),
-                     devices=devs).shape == {"dp": 2, "sp": 1, "tp": 1}
-    assert make_mesh(4, axes=("dp", "sp", "tp"),
-                     devices=devs).shape == {"dp": 2, "sp": 2, "tp": 1}
-    assert make_mesh(8, axes=("dp", "sp", "tp"),
-                     devices=devs).shape == {"dp": 2, "sp": 2, "tp": 2}
+    from evreal_tpu.data import Sequence
+    from evreal_tpu.ops.pad import CropParams
+    from evreal_tpu.train_cli import sample_batch
+
+    d = tmp_path / "seq0"
+    make_sequence(str(d), height=32, width=48, duration_s=0.5, fps=20,
+                  events_per_frame=400, seed=3)
+    seq = Sequence(str(d), num_bins=5,
+                   voxel_method={"method": "between_frames"})
+    crop = CropParams(48, 32, 0)
+
+    def voxelize(buffers):
+        t = buffers["count"].shape[0]
+        return np.zeros((t, 32, 48, 5), np.float32)
+
+    # chunk_t longer than the sequence forces a zero-padded tail
+    chunk_t = len(seq) + 4
+    batch = sample_batch([seq], voxelize, np.random.default_rng(0), 2,
+                         chunk_t, 5, crop)
+    assert "mask" in batch and batch["mask"].shape == (2, chunk_t)
+    assert batch["mask"].sum() > 0
+    assert (batch["mask"][:, -4:] == 0).all()  # padded tail is invalid
+    # every valid window carries a (possibly nonzero) GT frame slot
+    assert ((batch["frames"].reshape(2, chunk_t, -1).max(-1) > 0)
+            <= (batch["mask"] > 0)).all()
