@@ -191,6 +191,16 @@ def load_method_params(method_config):
         return nest(flat), meta
 
 
+def split_groups(groups, cap_n):
+    """Cap lockstep group width at cap_n sequences (EVREAL_BATCH_N): HBM
+    scales with lanes x resolution (e.g. FPVDR puts 26 sequences in one
+    same-resolution group). 0 = unlimited."""
+    if cap_n <= 0:
+        return groups
+    return [g[i:i + cap_n] for g in groups
+            for i in range(0, len(g), cap_n)]
+
+
 def sequence_output_dir(eval_config, dataset_name, seq_name, method_name):
     """outputs/<eval_cfg>/<dataset>/<sequence>/<method> (reference
     eval.py:168)."""
@@ -791,7 +801,9 @@ def eval_method_with_config(eval_config, method_name, datasets, metrics):
                 for sequence in dataset["sequences"]:
                     key = tuple(sequence["dataset"].sensor_resolution)
                     by_res.setdefault(key, []).append(sequence)
-                groups = list(by_res.values())
+                groups = split_groups(
+                    list(by_res.values()),
+                    int(os.environ.get("EVREAL_BATCH_N", "0")))
             else:
                 groups = [[s] for s in dataset["sequences"]]
 

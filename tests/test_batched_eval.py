@@ -169,3 +169,12 @@ def test_batched_runner_honors_chunk_t_env():
                       event_norm=False, post_norm="none", height=32,
                       width=40, num_bins=5, n=2)
     assert r.chunk_t == runner_mod.DEFAULT_CHUNK_T
+
+
+def test_batch_n_caps_group_width():
+    """EVREAL_BATCH_N splits oversized same-resolution groups."""
+    from evreal_tpu.harness.runner import split_groups
+
+    groups = [[1, 2, 3, 4, 5], [6]]
+    assert split_groups(groups, 2) == [[1, 2], [3, 4], [5], [6]]
+    assert split_groups(groups, 0) == groups  # unlimited
