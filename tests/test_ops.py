@@ -94,3 +94,29 @@ def test_activation_fn_resolves_torch_style_names():
         activation_fn("definitely_not_a_function")
     with pytest.raises(ValueError, match="unknown activation"):
         activation_fn("pi")  # resolves to a constant, not a callable
+
+
+def test_crop_params_fuzz_vs_reference():
+    """Random (h, w, num_encoders): pad placement matches CropParameters
+    exactly and crop(pad(x)) is the identity."""
+    import torch
+
+    from evreal_tpu.ops.pad import CropParams
+
+    from .oracle import ref_module
+
+    util = ref_module("utils.util")
+    rng = np.random.default_rng(7)
+    for _ in range(12):
+        h = int(rng.integers(17, 90))
+        w = int(rng.integers(17, 90))
+        enc = int(rng.integers(0, 4))
+        ours = CropParams(w, h, enc)
+        ref = util.CropParameters(w, h, enc)
+        x = rng.random((1, h, w, 1)).astype(np.float32)
+        xt = torch.tensor(x.transpose(0, 3, 1, 2))
+        np.testing.assert_array_equal(
+            np.asarray(ours.pad(x)).transpose(0, 3, 1, 2),
+            ref.pad(xt).numpy())
+        np.testing.assert_array_equal(
+            np.asarray(ours.crop(ours.pad(x))), x)

@@ -144,3 +144,33 @@ def test_voxelize_zero_capacity(impl):
     got = np.asarray(voxelize(z, z, z, z, np.int32(0), num_bins=5,
                               sensor_size=(8, 16), impl=impl))
     assert got.shape == (5, 8, 16) and not got.any()
+
+
+def test_voxelize_impl_agreement_fuzz():
+    """Property fuzz: scatter / matmul / pallas(interpret) agree bit-exactly
+    on CPU across random shapes, OOB coords, unsorted and degenerate
+    timestamps, and partial counts."""
+    from evreal_tpu.kernels.voxelize_pallas import voxelize_pallas
+    from evreal_tpu.ops.voxelize import voxelize_matmul, voxelize_scatter
+
+    rng = np.random.default_rng(42)
+    for _ in range(15):
+        h = int(rng.integers(1, 40))
+        w = int(rng.integers(1, 48))
+        b = int(rng.integers(1, 7))
+        cap = int(rng.integers(1, 300))
+        n = int(rng.integers(0, cap + 1))
+        xs = rng.uniform(-3, w + 3, cap).astype(np.float32)
+        ys = rng.uniform(-3, h + 3, cap).astype(np.float32)
+        ts = rng.uniform(0, 0.01, cap).astype(np.float32)
+        if rng.random() < 0.3 and n > 1:
+            ts[:n] = np.sort(ts[:n])
+        if rng.random() < 0.2:
+            ts[:] = 0.5  # degenerate dt
+        ps = (rng.integers(0, 2, cap) * 2 - 1).astype(np.float32)
+        args = (xs, ys, ts, ps, np.int32(n))
+        vs = np.asarray(voxelize_scatter(*args, b, (h, w)))
+        vm = np.asarray(voxelize_matmul(*args, b, (h, w)))
+        vp = np.asarray(voxelize_pallas(*args, b, (h, w), interpret=True))
+        np.testing.assert_array_equal(vs, vm)
+        np.testing.assert_array_equal(vs, vp)
