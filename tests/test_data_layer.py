@@ -176,3 +176,43 @@ def test_pack_windows_validates_all_out_buffers(seq_dir):
            "count": np.zeros((t,), np.int32)}
     with pytest.raises(AssertionError):
         pack_windows(seq, [0, 1], capacity=cap, out=out)
+
+
+def test_windowing_config_fuzz_vs_reference(seq_dir):
+    """Random voxel_method configs (t/k values, sliding windows) produce
+    identical window tables and per-item metadata to the reference
+    MemMapDataset."""
+    ds_mod = ref_module("dataset")
+    rng = np.random.default_rng(11)
+    for _ in range(10):
+        mode = ["between_frames", "t_seconds",
+                "k_events"][int(rng.integers(3))]
+        vm = {"method": mode}
+        if mode == "t_seconds":
+            vm["t"] = float(rng.uniform(0.01, 0.2))
+            vm["sliding_window_t"] = float(
+                rng.choice([0.0, rng.uniform(0, vm["t"])]))
+        elif mode == "k_events":
+            vm["k"] = int(rng.integers(50, 3000))
+            vm["sliding_window_w"] = int(
+                rng.choice([0, rng.integers(0, vm["k"])]))
+        try:
+            ref = ds_mod.MemMapDataset(seq_dir, num_bins=5,
+                                       voxel_method=dict(vm))
+        except Exception:
+            with pytest.raises(Exception):
+                s = Sequence(seq_dir, num_bins=5, voxel_method=dict(vm))
+                s.windows()
+            continue
+        ours = Sequence(seq_dir, num_bins=5, voxel_method=dict(vm))
+        assert len(ref) == len(ours), vm
+        for idx in rng.choice(max(len(ref), 1),
+                              size=min(4, len(ref)), replace=False):
+            idx = int(idx)
+            item = ref[idx]
+            m = ours.window(idx)
+            for key in ("voxel_timestamp", "frame_timestamp", "dt",
+                        "event_count"):
+                rv = float(item[key])
+                ov = float(m[key] if m[key] is not None else 0.0)
+                assert abs(rv - ov) <= 1e-9, (vm, idx, key, rv, ov)
