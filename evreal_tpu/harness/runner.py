@@ -379,6 +379,12 @@ class MethodRunner:
                 vox = voxel_stage(xs, ys, ts, ps, count)
                 vox = crop.pad(vox).astype(dtype)
 
+                # NOTE: ET-Net exposes encode_recurrent/decode_batched
+                # (only its ConvLSTM stages are recurrent), but scanning
+                # the prefix and batching the suffix over the chunk was
+                # A/B'd at 105.2 vs 105.5 ms/frame monolithic — no gain
+                # (and a much larger program to compile), so the harness
+                # scans whole models uniformly. See BASELINE.md.
                 def step(st, v):
                     out, st = model.apply(params, st, v[None])
                     return st, out["image"][0]

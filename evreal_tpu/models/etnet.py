@@ -39,9 +39,11 @@ class EITR:
             states.append(conv_lstm_zero_state(batch, hh, ww, c, dtype))
         return states
 
-    def apply(self, params, state, voxel):
+    def encode_recurrent(self, params, state, voxel):
+        """Recurrent prefix — head conv + the 3 ConvLSTM downsample stages,
+        the only part that carries state frame-to-frame. Returns
+        ((head, b0, b1, b2), new_state)."""
         p = params
-        n, h, w, _ = voxel.shape
         x = conv_layer(p["head"], voxel, stride=1, padding=2,
                        activation="relu", norm=self.norm)
         head = x
@@ -55,6 +57,19 @@ class EITR:
                 activation="relu", norm=self.norm)
             blocks.append(x)
             new_states.append(st)
+        return (head, blocks[0], blocks[1], blocks[2]), new_states
+
+    def decode_batched(self, params, feats):
+        """State-free suffix: 3-scale tokenization, the 6 transformer
+        streams, upsample decoders, pred. Runs on any leading batch — the
+        single-sequence harness feeds a whole chunk of T frames through one
+        call instead of serializing them inside the scan (the transformers'
+        small per-frame matmuls are latency-bound: measured 55% of ET-Net
+        frame time at batch 1, BASELINE.md)."""
+        p = params
+        head, b0, b1, b2 = feats
+        n = head.shape[0]
+        blocks = [b0, b1, b2]
 
         h8, w8 = blocks[2].shape[1], blocks[2].shape[2]
         l = h8 * w8
@@ -84,4 +99,8 @@ class EITR:
 
         img = conv_layer(p["pred"], x + head, padding=0, activation=None,
                          norm=self.norm)
-        return {"image": jax.nn.sigmoid(img)}, new_states
+        return {"image": jax.nn.sigmoid(img)}
+
+    def apply(self, params, state, voxel):
+        feats, new_states = self.encode_recurrent(params, state, voxel)
+        return self.decode_batched(params, feats), new_states

@@ -94,3 +94,37 @@ def test_spade_batch_equivariance():
     for t in range(2):
         np.testing.assert_allclose(o_batch[t][0], o_sep0[t][0], atol=1e-5)
         np.testing.assert_allclose(o_batch[t][1], o_sep1[t][0], atol=1e-5)
+
+
+def test_etnet_split_execution_matches_apply():
+    """The harness's split execution (scan encode_recurrent, then
+    decode_batched on the whole chunk) must equal per-frame apply()."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    torch.manual_seed(11)
+    eitr_ref = ref_module("model.eitr.eitr")
+    ref_model = eitr_ref.EITR({"num_bins": 5, "norm": None})
+    params = nest(convert_state_dict(ref_model.state_dict()))
+    model = build_model("EITR", {"num_bins": 5})
+
+    rng = np.random.default_rng(12)
+    t, h, w = 4, 16, 24
+    vox = jnp.asarray(rng.normal(0, 1, (t, h, w, 5)).astype(np.float32))
+
+    st = model.init_state(1, h, w)
+    per_frame = []
+    for i in range(t):
+        out, st = model.apply(params, st, vox[i][None])
+        per_frame.append(np.asarray(out["image"][0]))
+
+    def enc(st, v):
+        feats, st = model.encode_recurrent(params, st, v[None])
+        return st, tuple(f[0] for f in feats)
+
+    st2, feats = jax.lax.scan(enc, model.init_state(1, h, w), vox)
+    batched = np.asarray(model.decode_batched(params, feats)["image"])
+    np.testing.assert_allclose(batched, np.stack(per_frame), atol=1e-5)
+    for a, b in zip(jax.tree.leaves(st), jax.tree.leaves(st2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
