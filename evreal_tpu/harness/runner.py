@@ -39,6 +39,10 @@ from evreal_tpu.ops.pad import CropParams
 from evreal_tpu.ops.voxelize import voxelize_matmul, voxelize_scatter
 
 DEFAULT_CHUNK_T = int(os.environ.get("EVREAL_CHUNK_T", "32"))
+# parsed at import so a malformed value fails fast, not inside the
+# per-dataset containment try (which would degrade every dataset to a
+# printed traceback and an empty score table)
+DEFAULT_BATCH_N = int(os.environ.get("EVREAL_BATCH_N", "0"))
 PIPELINE_DEPTH = 8  # chunks in flight on device before the host drains one
 
 
@@ -807,9 +811,8 @@ def eval_method_with_config(eval_config, method_name, datasets, metrics):
                 for sequence in dataset["sequences"]:
                     key = tuple(sequence["dataset"].sensor_resolution)
                     by_res.setdefault(key, []).append(sequence)
-                groups = split_groups(
-                    list(by_res.values()),
-                    int(os.environ.get("EVREAL_BATCH_N", "0")))
+                groups = split_groups(list(by_res.values()),
+                                      DEFAULT_BATCH_N)
             else:
                 groups = [[s] for s in dataset["sequences"]]
 

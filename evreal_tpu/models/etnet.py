@@ -61,11 +61,15 @@ class EITR:
 
     def decode_batched(self, params, feats):
         """State-free suffix: 3-scale tokenization, the 6 transformer
-        streams, upsample decoders, pred. Runs on any leading batch — the
-        single-sequence harness feeds a whole chunk of T frames through one
-        call instead of serializing them inside the scan (the transformers'
-        small per-frame matmuls are latency-bound: measured 55% of ET-Net
-        frame time at batch 1, BASELINE.md)."""
+        streams, upsample decoders, pred. Runs on any leading batch.
+
+        NOTE: the harness does NOT use this as a separate pass — chunk-
+        batching the suffix was A/B'd at parity with the plain scan (105.2
+        vs 105.5 ms/frame, BASELINE.md 'Tried and rejected') so apply() is
+        the only production caller (batch = the scan step's). The
+        decomposition stays because it is the honest structure of the model
+        (only the ConvLSTM stages are recurrent) and keeps the experiment
+        reproducible (test_etnet_split_execution_matches_apply)."""
         p = params
         head, b0, b1, b2 = feats
         n = head.shape[0]
