@@ -1,0 +1,32 @@
+"""Driver-level hermeticity check for ``__graft_entry__.dryrun_multichip``.
+
+Round 1's driver invocation failed (MULTICHIP_r01.json rc=1) because the
+dryrun initialized the default (axon TPU) backend before any CPU fallback
+and relied on the caller to set ``--xla_force_host_platform_device_count``.
+This test reproduces the driver's calling convention in a fresh subprocess
+with NO XLA_FLAGS / JAX_PLATFORMS help from the environment — with the axon
+plugin still importable — and asserts the dryrun passes on its own.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_hermetic():
+    env = dict(os.environ)
+    # Simulate a bare driver environment: no virtual-device or platform help.
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, (proc.stdout, proc.stderr)
+    assert "dryrun_multichip(8): ok" in proc.stdout, proc.stdout
