@@ -13,6 +13,7 @@ are cached per (method, padded resolution, event-capacity bucket).
 """
 
 import glob
+import hashlib
 import os
 import traceback
 from collections import OrderedDict
@@ -153,46 +154,71 @@ def post_process_normalization_np(img, norm):
     return (img - lo) / (hi - lo)
 
 
+def _repo_root():
+    return os.path.abspath(os.path.join(os.path.dirname(__file__),
+                                        os.pardir, os.pardir))
+
+
+def _converted_cache_path(method_name, pth):
+    """Repo-local cache location for a converted checkpoint. Keyed by method
+    name plus a digest of the source path so switching a method's
+    ``model_path`` never picks up a stale conversion. Never a sibling of the
+    source ``.pth`` — the source tree may be read-only or external."""
+    digest = hashlib.sha1(os.path.abspath(pth).encode()).hexdigest()[:10]
+    stem = os.path.splitext(os.path.basename(pth))[0]
+    return os.path.join(_repo_root(), "weights", "converted", method_name,
+                        f"{stem}-{digest}.npz")
+
+
+def _convert_and_cache(method_name, pth, cache):
+    flat, meta = load_method_checkpoint(method_name, pth)
+    try:
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        save_params(cache, flat, meta)
+    except OSError:
+        pass
+    return nest(flat), meta
+
+
 def load_method_params(method_config):
-    """Resolve a method's converted-param file; auto-convert a sibling
-    torch ``.pth`` on first use (conversion is offline-torch, eval is pure JAX)."""
+    """Resolve a method's converted-param file; auto-convert a torch ``.pth``
+    on first use (conversion is offline-torch, eval is pure JAX). Conversions
+    are cached under the repo's ``weights/converted/<method>/`` — never
+    written beside the source checkpoint, which may live in a read-only or
+    external tree. A pre-existing sibling ``.npz`` is still honored as a
+    read path."""
     path = method_config["model_path"]
     if not os.path.isabs(path) and not os.path.exists(path):
-        repo = os.path.abspath(os.path.join(os.path.dirname(__file__),
-                                            os.pardir, os.pardir))
-        candidate = os.path.join(repo, path)
+        candidate = os.path.join(_repo_root(), path)
         if os.path.exists(candidate) or os.path.exists(
                 os.path.splitext(candidate)[0] + ".pth"):
             path = candidate
     if not path.endswith(".npz"):
         path = os.path.splitext(path)[0] + ".npz"
+    pth = os.path.splitext(path)[0] + ".pth"
     if not os.path.exists(path):
-        pth = os.path.splitext(path)[0] + ".pth"
         if not os.path.exists(pth):
             raise FileNotFoundError(
                 f"neither {path} nor {pth} exists; place the reference "
                 f"checkpoint at {pth} (it will be converted on first use)")
-        flat, meta = load_method_checkpoint(method_config["model_name"], pth)
-        try:
-            save_params(path, flat, meta)
-        except OSError:
-            pass
-        return nest(flat), meta
+        cache = _converted_cache_path(method_config["model_name"], pth)
+        if os.path.exists(cache):
+            try:
+                return load_params(cache)
+            except FileNotFoundError:
+                pass  # cached .npz lost its meta sidecar: re-convert below
+        return _convert_and_cache(method_config["model_name"], pth, cache)
     try:
         return load_params(path)
     except FileNotFoundError:
-        # cached .npz without its meta sidecar (e.g. the sidecar write
+        # explicit .npz without its meta sidecar (e.g. the sidecar write
         # failed on a previous run): re-convert from the .pth if present
         # rather than staying permanently broken
-        pth = os.path.splitext(path)[0] + ".pth"
         if not os.path.exists(pth):
             raise
-        flat, meta = load_method_checkpoint(method_config["model_name"], pth)
-        try:
-            save_params(path, flat, meta)
-        except OSError:
-            pass
-        return nest(flat), meta
+        return _convert_and_cache(
+            method_config["model_name"], pth,
+            _converted_cache_path(method_config["model_name"], pth))
 
 
 def split_groups(groups, cap_n):
