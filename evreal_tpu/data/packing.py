@@ -35,6 +35,32 @@ def bucket_capacity(max_count, minimum=_MIN_CAPACITY):
     return cap
 
 
+def plan_capacity(counts, tail_frac=0.01, min_ratio=4, minimum=_MIN_CAPACITY):
+    """Pool capacity robust to heavy-tailed window sizes.
+
+    Sizing every chunk buffer to the absolute max count lets one
+    pathological multi-million-event window inflate host RAM and
+    host->device bytes for the whole run. Instead: let up to
+    ``ceil(tail_frac * n)`` windows exceed the pool bucket — the (rare)
+    chunk containing one escalates to its own bucket (one extra compiled
+    program variant, H2D cost paid only for that chunk). The smaller base
+    is only used when it saves at least ``min_ratio`` x capacity, so
+    bucket-edge noise in a tail-free distribution never costs an extra
+    compile (compiles are minutes on a cold/degraded chip) and behavior
+    then stays identical to ``bucket_capacity(max(counts))``.
+    """
+    counts = np.sort(np.asarray(list(counts), np.int64))
+    n = counts.size
+    if n == 0:
+        return minimum
+    cap_all = bucket_capacity(int(counts[-1]), minimum)
+    k = min(max(1, int(np.ceil(n * tail_frac))), n - 1)
+    if k <= 0:
+        return cap_all
+    base = bucket_capacity(int(counts[n - 1 - k]), minimum)
+    return base if cap_all >= base * min_ratio else cap_all
+
+
 def _native_eligible(seq):
     try:
         return (seq.t.dtype == np.float64 and seq.t.ndim == 1

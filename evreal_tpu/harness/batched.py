@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from evreal_tpu.data.packing import bucket_capacity, pack_windows
+from evreal_tpu.data.packing import bucket_capacity, pack_windows, plan_capacity
 from evreal_tpu.harness.timers import DeviceTimer
 from evreal_tpu.metrics import registry as metric_registry
 from evreal_tpu.ops.pad import CropParams
@@ -259,9 +259,8 @@ def eval_method_on_sequence_group(dataset_name, eval_config, method_name,
     runner = bundle.batched_runner_for(resolution, method_config,
                                        seqs[0].num_bins, n_pad)
     chunk_t = runner.chunk_t
-    capacity = bucket_capacity(max(
-        (metas_all[k][i]["event_count"] for k in range(n)
-         for i in procs[k]), default=0))
+    capacity = plan_capacity(metas_all[k][i]["event_count"]
+                             for k in range(n) for i in procs[k])
     post_norm = method_config.get("post_process_norm", "none")
     any_images = any(seq.has_images for seq in seqs)
     total_frames = sum(len(p) for p in procs)
@@ -295,23 +294,39 @@ def eval_method_on_sequence_group(dataset_name, eval_config, method_name,
         for _ in range(n_pools)]
 
     def pack_chunk(k):
-        bufs = buf_pool[k % n_pools]
-        # ended/padding lanes must voxelize as zero-event windows, not as
-        # whatever this set held PIPELINE_DEPTH chunks ago
-        bufs["count"][:] = 0
+        chunk_idxs = [proc[k * chunk_t:(k + 1) * chunk_t] for proc in procs]
+        chunk_max = max((metas_all[j][i]["event_count"]
+                         for j in range(n) for i in chunk_idxs[j]),
+                        default=0)
+        if chunk_max <= capacity:
+            cap_c, zeroed = capacity, False
+            bufs = buf_pool[k % n_pools]
+            # ended/padding lanes must voxelize as zero-event windows, not
+            # as whatever this set held PIPELINE_DEPTH chunks ago
+            bufs["count"][:] = 0
+        else:
+            # outlier chunk (rare by plan_capacity construction): escalate
+            # to its own bucket with one-off buffers instead of inflating
+            # every pool for the whole run
+            cap_c, zeroed = bucket_capacity(chunk_max), True
+            bufs = {"xs": np.zeros((n_pad, chunk_t, cap_c), xy_dtype),
+                    "ys": np.zeros((n_pad, chunk_t, cap_c), xy_dtype),
+                    "ts": np.zeros((n_pad, chunk_t, cap_c), np.float32),
+                    "ps": np.zeros((n_pad, chunk_t, cap_c), np.int8),
+                    "count": np.zeros((n_pad, chunk_t), np.int32)}
         chunk_info = []
         refs = refs_pool[k % n_pools]
         for j, (seq, proc) in enumerate(zip(seqs, procs)):
-            idxs = proc[k * chunk_t:(k + 1) * chunk_t]
+            idxs = chunk_idxs[j]
             chunk_info.append(idxs)
             if not idxs:
                 continue
             t = len(idxs)
             views = {key: bufs[key][j, :t] for key in
                      ("xs", "ys", "ts", "ps", "count")}
-            pack_windows(seq, idxs, capacity=capacity, out=views,
+            pack_windows(seq, idxs, capacity=cap_c, out=views,
                          metas=[metas_all[j][i] for i in idxs],
-                         out_zeroed=False)
+                         out_zeroed=zeroed)
             if refs is not None and seq.has_images:
                 for r, i in enumerate(idxs):
                     refs[j, r] = seq.frame(metas_all[j][i]["frame_index"])

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from evreal_tpu.convert import load_method_checkpoint, load_params, nest, save_params
-from evreal_tpu.data import Sequence, pack_windows, bucket_capacity
+from evreal_tpu.data import Sequence, pack_windows, bucket_capacity, plan_capacity
 from evreal_tpu.harness import histeq as histeq_mod
 from evreal_tpu.harness.config import (
     get_dataset_configs,
@@ -574,8 +574,7 @@ def eval_method_on_sequence(dataset_name, eval_config, method_name, bundle,
                                    seq.num_bins)
     state = runner.init_state()
     chunk_t = runner.chunk_t
-    capacity = bucket_capacity(max((metas_all[i]["event_count"]
-                                    for i in proc), default=0))
+    capacity = plan_capacity(metas_all[i]["event_count"] for i in proc)
     post_norm = method_config.get("post_process_norm", "none")
 
     # Chunks are dispatched ahead of consumption (JAX async dispatch): the
@@ -683,10 +682,23 @@ def eval_method_on_sequence(dataset_name, eval_config, method_name, bundle,
     for ci, c0 in enumerate(range(0, len(proc), chunk_t)):
         chunk = proc[c0:c0 + chunk_t]
         valid_t = len(chunk)
-        views = {key: arr[:valid_t]
-                 for key, arr in buf_pool[ci % n_pools].items()}
-        buffers, metas = pack_windows(seq, chunk, capacity=capacity,
-                                      out=views, out_zeroed=False,
+        chunk_max = max(metas_all[i]["event_count"] for i in chunk)
+        if chunk_max <= capacity:
+            cap_c, zeroed = capacity, False
+            views = {key: arr[:valid_t]
+                     for key, arr in buf_pool[ci % n_pools].items()}
+        else:
+            # outlier chunk (rare by plan_capacity construction): escalate
+            # to its own bucket with one-off buffers instead of inflating
+            # every pool for the whole sequence
+            cap_c, zeroed = bucket_capacity(chunk_max), True
+            views = {"xs": np.zeros((valid_t, cap_c), xy_dtype),
+                     "ys": np.zeros((valid_t, cap_c), xy_dtype),
+                     "ts": np.zeros((valid_t, cap_c), np.float32),
+                     "ps": np.zeros((valid_t, cap_c), np.int8),
+                     "count": np.zeros((valid_t,), np.int32)}
+        buffers, metas = pack_windows(seq, chunk, capacity=cap_c,
+                                      out=views, out_zeroed=zeroed,
                                       metas=[metas_all[i] for i in chunk])
         if valid_t < chunk_t:  # pad last chunk to the compiled T
             for key in ("xs", "ys", "ts", "ps"):
