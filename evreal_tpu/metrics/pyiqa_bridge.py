@@ -1,0 +1,80 @@
+"""Escape hatch for arbitrary pyiqa metrics (reference
+utils/eval_metrics.py:100-159, PyIqaMetricFactory): when ``import pyiqa``
+succeeds, any name in ``pyiqa.list_models()`` requested via ``-qm`` becomes
+a usable metric, evaluated on host through ``jax.pure_callback``.
+
+The reference queues frames and runs pyiqa in batches of 4; here the
+callback is registered with ``vmap_method="expand_dims"`` so the harness's
+chunk-level vmap hands the host one batched ``(T, H, W)`` call per chunk —
+the whole chunk is a single pyiqa forward, and the device pipeline stays
+async around it. Grayscale [0, 1] frames are repeated to 3 channels exactly
+like the reference's ``cv2torch(img, num_ch=3)``.
+
+pyiqa is absent in minimal installs; ``make_pyiqa_spec`` then returns None
+and the registry's warn-skip behavior is unchanged. A runtime failure
+inside pyiqa surfaces through the callback and is contained per-metric by
+the harness like any other metric failure.
+"""
+
+import warnings
+
+
+def _host_batch_fn(metric, no_ref):
+    import numpy as np
+
+    def host_batch(*arrays):
+        import torch
+
+        imgs = np.asarray(arrays[0], np.float32)
+        squeeze = imgs.ndim == 2  # unbatched (trace-probe) call
+        if squeeze:
+            imgs = imgs[None]
+        t = torch.from_numpy(np.repeat(imgs[:, None], 3, axis=1))
+        with torch.no_grad():
+            if no_ref:
+                score = metric(t)
+            else:
+                refs = np.asarray(arrays[1], np.float32)
+                if squeeze:
+                    refs = refs[None]
+                r = torch.from_numpy(np.repeat(refs[:, None], 3, axis=1))
+                score = metric(t, r)
+        out = np.asarray(score.detach().cpu(), np.float32).reshape(-1)
+        return out[0] if squeeze else out
+
+    return host_batch
+
+
+def make_pyiqa_spec(name):
+    """Build a registry-compatible (fn, no_ref) for a pyiqa model name.
+
+    Returns None when pyiqa is unavailable or does not know ``name`` —
+    the caller then falls through to the unknown-metric message.
+    """
+    try:
+        import pyiqa
+    except ImportError:
+        return None
+    if name not in pyiqa.list_models():
+        return None
+    with warnings.catch_warnings():
+        warnings.filterwarnings("ignore", category=UserWarning)
+        metric = pyiqa.create_metric(name)
+    no_ref = getattr(metric, "metric_mode", "FR") == "NR"
+    host_batch = _host_batch_fn(metric, no_ref)
+
+    import jax
+    import jax.numpy as jnp
+
+    def _call(*args):
+        return jax.pure_callback(host_batch,
+                                 jax.ShapeDtypeStruct((), jnp.float32),
+                                 *args, vmap_method="expand_dims")
+
+    if no_ref:
+        def fn(img):
+            return _call(img)
+    else:
+        def fn(img, ref):
+            return _call(img, ref)
+    return fn, no_ref

@@ -22,7 +22,9 @@ endpoint rejects the program body (HTTP 413), and every compiled variant
 would duplicate the constants on device.
 
 Built-ins: mse, ssim, plus lpips/niqe/brisque/maniqa when their converted
-weights exist (weights/README.md).
+weights exist (weights/README.md). Any other requested name falls back to
+the pyiqa escape hatch (pyiqa_bridge) when pyiqa is importable, matching
+the reference's runtime PyIqaMetricFactory.
 """
 
 import dataclasses
@@ -95,10 +97,28 @@ def resolve(metric_names):
             continue
         spec = _REGISTRY.get(key)
         if spec is None:
+            spec = _try_pyiqa(key)
+        if spec is None:
             print(f"Unknown metric {m}")
             continue
         specs.append(spec)
     return specs
+
+
+def _try_pyiqa(key):
+    """Escape hatch (reference eval_metrics.py:100-159): any
+    ``pyiqa.list_models()`` name becomes a host-callback metric when pyiqa
+    is importable. Created specs are registered so repeat resolves (and the
+    tracker's name lookups) reuse the same instance, like the reference's
+    ``created_metrics`` cache."""
+    from evreal_tpu.metrics.pyiqa_bridge import make_pyiqa_spec
+
+    made = make_pyiqa_spec(key)
+    if made is None:
+        return None
+    fn, no_ref = made
+    register(key, fn, no_ref=no_ref)
+    return _REGISTRY[key]
 
 
 _builtins_done = False
