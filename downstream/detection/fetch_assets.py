@@ -1,12 +1,12 @@
 #!/usr/bin/env python
-"""Import the detection task's ground-truth assets from an EVREAL checkout.
+"""Refresh the detection task's ground-truth assets from an EVREAL checkout.
 
-The reference ships two data assets this task needs (they are human
-annotations and cannot be regenerated): ``frame_list.txt`` (the 400 frame
-ids of MVSEC outdoor_night1 to run detection on) and
+``frame_list.txt`` (the 400 frame ids of MVSEC outdoor_night1) and
 ``mvsec_nightl21_labels/`` (368 Pascal-VOC label files used by
-pascal_voc_map.py). Point this script at a clone of
-https://github.com/ercanburak/EVREAL to copy them next to detect.py:
+pascal_voc_map.py) are human-annotation data originating in the reference
+(downstream_tasks/detection/) and now ship in-tree next to this script, so
+scoring runs out of the box. Use this script only to re-sync them from a
+clone of https://github.com/ercanburak/EVREAL:
 
     python downstream/detection/fetch_assets.py /path/to/EVREAL
 """

@@ -89,10 +89,17 @@ def calculate_map(gt_path, pred_path):
     return float(np.mean(aps))
 
 
+SHIPPED_LABELS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "mvsec_nightl21_labels")
+
 if __name__ == "__main__":
     ap_ = argparse.ArgumentParser(description=__doc__)
-    ap_.add_argument("--labels", default="mvsec_nightl21_labels",
-                     help="directory of GT label files")
+    ap_.add_argument("--labels",
+                     default=("mvsec_nightl21_labels"
+                              if os.path.isdir("mvsec_nightl21_labels")
+                              else SHIPPED_LABELS),
+                     help="directory of GT label files (defaults to the "
+                          "annotations shipped next to this script)")
     ap_.add_argument("--outputs", default="outputs",
                      help="base dir with <model>/boxes/ prediction files")
     ap_.add_argument("--models", nargs="+", default=MODELS)

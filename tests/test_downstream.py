@@ -48,6 +48,36 @@ def test_calculate_map(tmp_path):
     assert abs(voc.calculate_map(str(gt), str(pred)) - 0.5) < 1e-9
 
 
+def test_shipped_annotations_score(tmp_path):
+    """The vendored MVSEC outdoor_night1 annotations (reference
+    downstream_tasks/detection/: frame_list.txt + 368 label files — human
+    annotation data) make detection scoring run without a second EVREAL
+    checkout: GT-as-prediction scores mAP 1.0 on every labeled frame."""
+    labels = voc.SHIPPED_LABELS
+    assert os.path.isdir(labels)
+    names = sorted(os.listdir(labels))
+    assert len(names) == 368
+    frame_list = os.path.join(os.path.dirname(labels), "frame_list.txt")
+    frames = [l.strip() for l in open(frame_list, encoding="utf-8")
+              if l.strip()]
+    assert len(frames) == 400
+    # every label file's frame id is in frame_list
+    ids = {n[len("frame_"):-len(".txt")] for n in names}
+    assert ids <= set(frames)
+
+    pred = tmp_path / "pred"
+    pred.mkdir()
+    for n in names:
+        rows = []
+        with open(os.path.join(labels, n), encoding="utf-8") as f:
+            for line in f:
+                parts = line.split()
+                if parts:
+                    rows.append(f"{parts[0]} 0.99 {' '.join(parts[1:])}")
+        (pred / n).write_text("\n".join(rows) + "\n")
+    assert abs(voc.calculate_map(labels, str(pred)) - 1.0) < 1e-9
+
+
 def test_get_mape(tmp_path, monkeypatch, capsys):
     mape = _load(os.path.join(REPO, "downstream/calibration/get_mape.py"),
                  "mape_mod")
