@@ -334,7 +334,7 @@ def eval_method_on_sequence_group(dataset_name, eval_config, method_name,
 
     from evreal_tpu.harness.runner import fence, make_metric_containment
 
-    live, probe_metrics, fetch_scores = make_metric_containment(
+    live, probe_metrics, fetch_scores, dropped = make_metric_containment(
         runner, "group")
 
     def drain(entry):
@@ -436,7 +436,7 @@ def eval_method_on_sequence_group(dataset_name, eval_config, method_name,
         # finalize every tracker even if one sequence's writer failed —
         # otherwise the rest would silently drop queued PNGs
         try:
-            tracker.finalize(proc[-1] if proc else 0)
+            tracker.finalize(proc[-1] if proc else 0, dropped=dropped)
             if eval_config.get("create_video", False):
                 tracker.create_video()
                 if hist_eq != "none":

@@ -338,7 +338,7 @@ def make_metric_containment(runner, scope):
         except Exception:  # noqa: BLE001 — async runtime failure
             return probe_metrics(use, imgs_dev, refs_dev)
 
-    return live, probe_metrics, fetch_scores
+    return live, probe_metrics, fetch_scores, dead
 
 
 def validate_metric_specs(cache, specs, hw):
@@ -608,7 +608,7 @@ def eval_method_on_sequence(dataset_name, eval_config, method_name, bundle,
         out[: r.shape[0]] = r
         return out
 
-    live, probe_metrics, fetch_scores = make_metric_containment(
+    live, probe_metrics, fetch_scores, dropped = make_metric_containment(
         runner, "sequence")
 
     def drain(entry):
@@ -754,7 +754,7 @@ def eval_method_on_sequence(dataset_name, eval_config, method_name, bundle,
         jax.block_until_ready(state)
     timer.__exit__()
 
-    tracker.finalize(proc[-1] if proc else 0)
+    tracker.finalize(proc[-1] if proc else 0, dropped=dropped)
     if eval_config.get("create_video", False):
         tracker.create_video()
         if hist_eq != "none":

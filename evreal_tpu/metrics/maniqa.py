@@ -340,6 +340,19 @@ def register_if_available():
         return False
     from evreal_tpu.metrics.registry import register
 
+    # parse once, here: inside the metric fn a malformed value would
+    # surface at trace time as a contained "metric dropped" traceback, and
+    # later env changes would be silently ignored by jit caching anyway —
+    # fail fast at registration like EVREAL_BATCH_N (runner.py)
+    raw = os.environ.get("EVREAL_MANIQA_CROPS", "20")
+    try:
+        n_crops = int(raw)
+    except ValueError:
+        raise ValueError(
+            f"EVREAL_MANIQA_CROPS={raw!r} is not an integer") from None
+    if n_crops < 1:
+        raise ValueError(f"EVREAL_MANIQA_CROPS={n_crops} must be >= 1")
+
     meta = {}
 
     def load():
@@ -349,7 +362,6 @@ def register_if_available():
         return params
 
     def fn(params, img):
-        n_crops = int(os.environ.get("EVREAL_MANIQA_CROPS", "20"))
         return maniqa(params, img, n_crops=n_crops,
                       window_size=meta.get("window", 4),
                       scale=meta.get("scale", 0.8))

@@ -210,11 +210,16 @@ class EvalMetricsTracker:
             self._image_writer = AsyncImageWriter()
         return self._image_writer
 
-    def finalize(self, idx):
+    def finalize(self, idx, dropped=()):
         """Flush the background PNG writer and close txt handles (the
         reference's finalize flushes its pyiqa batch queues,
         eval_metrics.py:225-228). Exception-safe: txt handles are closed
-        even if a PNG write failed; the writer error is re-raised last."""
+        even if a PNG write failed; the writer error is re-raised last.
+
+        ``dropped``: metric names the harness's runtime containment
+        removed mid-sequence. They are excluded from done.json's
+        completion record so an EVREAL_RESUME rerun re-evaluates the
+        sequence instead of trusting a partial mean."""
         writer, self._image_writer = getattr(self, "_image_writer",
                                              None), None
         try:
@@ -228,10 +233,17 @@ class EvalMetricsTracker:
         # frame's files are flushed, so its presence implies a finished run
         import json
 
+        # a metric with zero recorded scores despite evaluated frames was
+        # dropped by trace-time validation — equally incomplete
+        complete = [m for m in self.metric_names
+                    if m not in set(dropped)
+                    and (self.scores[m] or not self.quan_eval_indices)]
+        mean_scores = {k: v for k, v in self.get_mean_scores().items()
+                       if k in complete}
         with open(self._done_path(), "w", encoding="utf-8") as f:
             json.dump({"num_evaluated": self.get_num_quan_evaluations(),
-                       "mean_scores": self.get_mean_scores(),
-                       "metrics": self.metric_names,
+                       "mean_scores": mean_scores,
+                       "metrics": complete,
                        "settings": self.run_settings}, f)
 
     def get_num_quan_evaluations(self):

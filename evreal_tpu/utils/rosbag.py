@@ -68,6 +68,39 @@ time stamp
 string frame_id
 """
 
+# dvs_msgs/EventArray identity, genmsg md5 recipe (builtin fields verbatim,
+# nested types replaced by their md5, array suffix dropped):
+#   header_md5     = md5("uint32 seq\ntime stamp\nstring frame_id")
+#   event_md5      = md5("uint16 x\nuint16 y\ntime ts\nbool polarity")
+#   eventarray_md5 = md5(f"{header_md5} header\nuint32 height\n"
+#                        f"uint32 width\n{event_md5} events")
+# The recipe is validated by reproducing _IMAGE_MD5 from the same rule
+# (tests/test_rosbag.py); strict consumers (rosbag info/play, rqt_bag)
+# reject connections whose md5sum is '*'.
+_EVENTARRAY_MD5 = "5e8beee5a6c107e504c2e78903c224b8"
+_EVENTARRAY_DEF = """\
+# This message contains an array of events
+Header header
+uint32 height         # image height, that is, number of rows
+uint32 width          # image width, that is, number of columns
+Event[] events        # an array of events
+
+================================================================================
+MSG: std_msgs/Header
+# Standard metadata for higher-level stamped data types.
+uint32 seq
+time stamp
+string frame_id
+
+================================================================================
+MSG: dvs_msgs/Event
+# A DVS event
+uint16 x
+uint16 y
+time ts
+bool polarity
+"""
+
 _EVENT_DTYPE = np.dtype([("x", "<u2"), ("y", "<u2"), ("secs", "<u4"),
                          ("nsecs", "<u4"), ("polarity", "u1")])
 assert _EVENT_DTYPE.itemsize == 13  # packed dvs_msgs/Event wire size
@@ -305,8 +338,8 @@ def _serialize(msg):
 def _connection_info(msg, topic):
     if isinstance(msg, Image):
         md5, definition = _IMAGE_MD5, _IMAGE_DEF
-    else:  # EventArray — md5 left for the ROS side to fill if ever needed
-        md5, definition = "*", "uint16 x\nuint16 y\ntime ts\nbool polarity\n"
+    else:
+        md5, definition = _EVENTARRAY_MD5, _EVENTARRAY_DEF
     return [(b"topic", topic.encode()),
             (b"type", msg._type.encode()),
             (b"md5sum", md5.encode()),

@@ -290,3 +290,22 @@ def test_maniqa_through_harness_vmap(model_and_params):
     # matches per-frame evaluation
     solo = np.array([float(fn(chunk[i])) for i in range(3)])
     np.testing.assert_allclose(vals, solo, atol=1e-5)
+
+
+def test_malformed_crops_env_fails_fast(tmp_path, monkeypatch,
+                                        model_and_params):
+    """EVREAL_MANIQA_CROPS is validated once at registration (like
+    EVREAL_BATCH_N) — not at trace time, where it would surface as a
+    contained 'metric dropped' and later env changes would be ignored by
+    jit caching."""
+    net, _ = model_and_params
+    arrs = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    path = tmp_path / "maniqa.npz"
+    np.savez(path, **arrs)
+    monkeypatch.setenv("EVREAL_MANIQA_PARAMS", str(path))
+    monkeypatch.setenv("EVREAL_MANIQA_CROPS", "twenty")
+    with pytest.raises(ValueError, match="EVREAL_MANIQA_CROPS"):
+        m.register_if_available()
+    monkeypatch.setenv("EVREAL_MANIQA_CROPS", "0")
+    with pytest.raises(ValueError, match="EVREAL_MANIQA_CROPS"):
+        m.register_if_available()

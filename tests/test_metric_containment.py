@@ -78,6 +78,37 @@ def test_runtime_metric_failure_contained(seq_dir, tmp_path, monkeypatch,
     assert "dropping it" in capsys.readouterr().out
 
 
+def test_dropped_metric_not_marked_complete(seq_dir, tmp_path, monkeypatch):
+    """A runtime-dropped metric must be excluded from done.json's
+    completion record so an EVREAL_RESUME rerun re-evaluates the sequence
+    instead of reusing a partial mean (advisor finding, round 1)."""
+    import json
+
+    monkeypatch.chdir(tmp_path)
+    from evreal_tpu.harness.runner import eval_method_on_sequence
+    from evreal_tpu.metrics import registry
+    from evreal_tpu.metrics.tracker import load_completed
+
+    _register_runtime_bomb()
+    try:
+        num_eval, _ = eval_method_on_sequence(
+            "SYN", EVAL_CONFIG, "FireNet+", FakeBundle("FireNet+"),
+            METHOD_CONFIG, _sequence(seq_dir), ["mse", "boom"])
+    finally:
+        registry._REGISTRY.pop("boom", None)
+    assert num_eval > 0
+
+    out_dir = str(tmp_path / "outputs" / "std" / "SYN" / "seq0" / "FireNet+")
+    with open(out_dir + "/done.json", encoding="utf-8") as f:
+        done = json.load(f)
+    assert done["metrics"] == ["mse"]
+    assert "boom" not in done["mean_scores"]
+    # resume with the same request must re-evaluate (record incomplete)...
+    assert load_completed(out_dir, ["mse", "boom"], None) is None
+    # ...but a request for the surviving metric alone may reuse it
+    assert load_completed(out_dir, ["mse"], None) is not None
+
+
 def test_params_metric_weights_not_inlined(seq_dir, tmp_path, monkeypatch):
     """A spec with a ``params`` loader must receive its weights through the
     jit boundary as arguments — inlined as closure constants, MANIQA's

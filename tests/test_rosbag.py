@@ -237,3 +237,33 @@ def test_bag_to_npy_wrong_topic_message(tmp_path):
     out.mkdir()
     with pytest.raises(ValueError, match="no events on topic"):
         b2n.bag_to_npy(path, str(out), "/wrong/topic", "/dvs/image_raw")
+
+
+def test_message_md5_recipe_and_eventarray_identity(tmp_path):
+    """The genmsg md5 recipe (builtin fields verbatim, nested types replaced
+    by their md5, array suffix dropped) reproduces the documented
+    sensor_msgs/Image md5 — validating the rule — and derives the
+    dvs_msgs/EventArray md5 we hard-code; written event bags carry it in
+    their connection record (strict consumers reject md5sum '*')."""
+    import hashlib
+
+    def m(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    header = m("uint32 seq\ntime stamp\nstring frame_id")
+    image = m(f"{header} header\nuint32 height\nuint32 width\n"
+              f"string encoding\nuint8 is_bigendian\nuint32 step\n"
+              f"uint8[] data")
+    assert image == rb._IMAGE_MD5  # documented value -> recipe is right
+    event = m("uint16 x\nuint16 y\ntime ts\nbool polarity")
+    earray = m(f"{header} header\nuint32 height\nuint32 width\n"
+               f"{event} events")
+    assert earray == rb._EVENTARRAY_MD5
+
+    path = str(tmp_path / "events.bag")
+    with rb.Bag(path, "w") as bag:
+        bag.write("/dvs/events", _event_msg(1, n=10), rb.Time(1, 0))
+    raw = open(path, "rb").read()
+    assert rb._EVENTARRAY_MD5.encode() in raw
+    assert b"md5sum=*" not in raw
+    assert b"MSG: dvs_msgs/Event" in raw  # full definition embedded

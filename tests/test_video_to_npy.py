@@ -79,3 +79,23 @@ def test_video_to_npy_contract(frame_dir, tmp_path):
     on, off = int((ep == 1).sum()), int((ep == 0).sum())
     assert on > 0 and off > 0
     assert 0.25 < on / (on + off) < 0.75
+
+
+def test_unreadable_frame_fails_with_filename(frame_dir, tmp_path):
+    import video_to_npy as v2n
+
+    bad = frame_dir + "/f_0005.png"
+    with open(bad, "wb") as f:
+        f.write(b"not a png")
+    with pytest.raises(SystemExit, match="f_0005.png"):
+        list(v2n.frames_from_path(frame_dir, fps=10))
+
+
+def test_mismatched_frame_shape_fails_with_filename(frame_dir):
+    import cv2
+    import video_to_npy as v2n
+
+    cv2.imwrite(frame_dir + "/f_0099.png",
+                np.zeros((8, 8), np.uint8))
+    with pytest.raises(SystemExit, match="f_0099.png"):
+        list(v2n.frames_from_path(frame_dir, fps=10))

@@ -44,8 +44,17 @@ def frames_from_path(path, fps):
             raise SystemExit(f"no image frames under {path}")
         if fps <= 0:
             raise SystemExit("--fps is required for a frame directory")
+        shape0 = None
         for i, f in enumerate(files):
             img = cv2.imread(f, cv2.IMREAD_GRAYSCALE)
+            if img is None:
+                raise SystemExit(f"unreadable image frame {f}")
+            if shape0 is None:
+                shape0 = img.shape
+            elif img.shape != shape0:
+                raise SystemExit(
+                    f"frame {f} has shape {img.shape}, expected {shape0} "
+                    f"(all frames in {path} must match)")
             yield img, i / fps
         return
     cap = cv2.VideoCapture(path)
