@@ -1,8 +1,10 @@
-"""Multi-head attention and pre-LN transformer blocks for ET-Net.
+"""Multi-head attention and transformer blocks for ET-Net.
 
 Matches torch nn.MultiheadAttention (eval mode, no dropout) and the
 reference's pre-norm encoder/decoder layers
-(model/eitr/transformer_encoder.py:48-77, transformer_decoder.py:46-87).
+(model/eitr/transformer_encoder.py:48-77, transformer_decoder.py:46-87),
+plus the post-LN encoder-decoder variant (model/eitr/transformer.py, dead
+code in the reference — ported for completeness).
 Layout is batch-first (N, L, E); the reference uses (L, N, E) but the math is
 identical.
 """
@@ -67,6 +69,56 @@ def transformer_decoder(p, tgt, memory, num_heads=8):
     for i in range(len(layers)):
         out = decoder_layer(layers[str(i)], out, memory, num_heads)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Post-LN encoder-decoder variant (reference model/eitr/transformer.py —
+# unreachable from every reference entry point, ported for completeness;
+# PARITY.md). Differences vs the pre-LN path used by ET-Net: LayerNorm
+# after each residual add instead of before each sublayer, and the
+# pos/task embedding is re-added to q and k at EVERY layer (DETR-style
+# with_embed, transformer.py:82-86) rather than once before layer 0.
+
+
+def _with_embed(x, embed):
+    return x if embed is None else x + embed
+
+
+def encoder_layer_postln(p, src, pos, num_heads):
+    """Reference TransformerEncoderLayer.forward (transformer.py:85-97)."""
+    q = _with_embed(src, pos)
+    src = layer_norm(p["norm1"],
+                     src + multihead_attention(p["self_attn"], q, q, src,
+                                               num_heads))
+    return layer_norm(p["norm2"], src + _ffn(p, src))
+
+
+def decoder_layer_postln(p, tgt, memory, task_embed, num_heads):
+    """Reference TransformerDecoderLayer.forward (transformer.py:119-137)."""
+    q = _with_embed(tgt, task_embed)
+    tgt = layer_norm(p["norm1"],
+                     tgt + multihead_attention(p["self_attn"], q, q, tgt,
+                                               num_heads))
+    q = _with_embed(tgt, task_embed)
+    tgt = layer_norm(p["norm2"],
+                     tgt + multihead_attention(p["cross_attn"], q, memory,
+                                               memory, num_heads))
+    return layer_norm(p["norm3"], tgt + _ffn(p, tgt))
+
+
+def transformer_postln(p, src, pos, task_embed=None, num_heads=8):
+    """Reference transformer.forward (transformer.py:30-34): encoder output
+    feeds the decoder as both tgt and memory."""
+    out = src
+    enc = p["encoder"]["layers"]
+    for i in range(len(enc)):
+        out = encoder_layer_postln(enc[str(i)], out, pos, num_heads)
+    tgt = memory = out
+    dec = p["decoder"]["layers"]
+    for i in range(len(dec)):
+        tgt = decoder_layer_postln(dec[str(i)], tgt, memory, task_embed,
+                                   num_heads)
+    return tgt
 
 
 def sinusoid_table(n_position, d_hid):

@@ -128,3 +128,46 @@ def test_etnet_split_execution_matches_apply():
     np.testing.assert_allclose(batched, np.stack(per_frame), atol=1e-5)
     for a, b in zip(jax.tree.leaves(st), jax.tree.leaves(st2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_postln_transformer_parity():
+    """The post-LN encoder-decoder variant (reference
+    model/eitr/transformer.py — dead code there, ported for completeness):
+    pos/task embeddings re-added at every layer, LN after each residual."""
+    import torch
+
+    import jax.numpy as jnp
+
+    from evreal_tpu.nn.attention import transformer_postln
+
+    torch.manual_seed(9)
+    tf_mod = ref_module("model.eitr.transformer")
+    ref_tf = tf_mod.transformer(d_model=32, nhead=4, num_encoder_layers=2,
+                                num_decoder_layers=2, dim_feedforward=64,
+                                dropout=0.0)
+    ref_tf.eval()
+
+    params = nest(convert_state_dict(ref_tf.state_dict()))
+    rng = np.random.default_rng(0)
+    L, N, E = 6, 2, 32
+    src = rng.normal(size=(L, N, E)).astype(np.float32)
+    pos = rng.normal(size=(L, N, E)).astype(np.float32)
+    task = rng.normal(size=(L, N, E)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_out = ref_tf(torch.tensor(src), torch.tensor(pos),
+                         torch.tensor(task)).numpy()
+    ours = np.asarray(transformer_postln(
+        params, jnp.asarray(src.transpose(1, 0, 2)),
+        jnp.asarray(pos.transpose(1, 0, 2)),
+        jnp.asarray(task.transpose(1, 0, 2)), num_heads=4))
+    np.testing.assert_allclose(ours.transpose(1, 0, 2), ref_out, atol=2e-5)
+
+    # task_embed=None path (reference default)
+    with torch.no_grad():
+        ref_out2 = ref_tf(torch.tensor(src), torch.tensor(pos)).numpy()
+    ours2 = np.asarray(transformer_postln(
+        params, jnp.asarray(src.transpose(1, 0, 2)),
+        jnp.asarray(pos.transpose(1, 0, 2)), num_heads=4))
+    np.testing.assert_allclose(ours2.transpose(1, 0, 2), ref_out2,
+                               atol=2e-5)
