@@ -101,6 +101,6 @@ def test_outlier_window_evaluates_without_blowup(outlier_seq_dir, tmp_path,
     out_dir = tmp_path / "outputs" / "std" / "SYN" / "seq0" / "FireNet+"
     mse_rows = [l.split() for l in
                 (out_dir / "mse.txt").read_text().splitlines()]
-    for (ridx, rmse, _), mrow in zip(ref_rows, mse_rows):
+    for (ridx, _, rmse, _), mrow in zip(ref_rows, mse_rows):
         assert int(mrow[0]) == ridx
         assert abs(float(mrow[1]) - rmse) < 2e-4, (mrow, rmse)

@@ -81,7 +81,7 @@ def reference_pipeline(seq_dir, start_s, end_s, ts_tol_ms=1.0):
             ok = (start_s <= pred_ts <= end_s and
                   abs(ref_ts - pred_ts) * 1000 <= ts_tol_ms)
             if ok:
-                rows.append((idx, float(np.mean((ref - img) ** 2)),
+                rows.append((idx, pred_ts, float(np.mean((ref - img) ** 2)),
                              skimage_ssim_oracle(img, ref)))
     return rows
 
@@ -123,13 +123,14 @@ def test_full_pipeline_matches_reference(seq_dir, tmp_path, monkeypatch):
                  (out_dir / "ssim.txt").read_text().splitlines()]
     assert len(mse_rows) == len(ref_rows)
 
-    for (ridx, rmse, rssim), mrow, srow in zip(ref_rows, mse_rows, ssim_rows):
+    for (ridx, _, rmse, rssim), mrow, srow in zip(ref_rows, mse_rows,
+                                                  ssim_rows):
         assert int(mrow[0]) == ridx
         assert abs(float(mrow[1]) - rmse) < 2e-4, (mrow, rmse)
         assert abs(float(srow[1]) - rssim) < 2e-3, (srow, rssim)
 
-    ref_mse = np.mean([r[1] for r in ref_rows])
-    ref_ssim = np.mean([r[2] for r in ref_rows])
+    ref_mse = np.mean([r[2] for r in ref_rows])
+    ref_ssim = np.mean([r[3] for r in ref_rows])
     assert abs(mean_scores["mse"] - ref_mse) < 1e-4
     assert abs(mean_scores["ssim"] - ref_ssim) < 1e-3
 

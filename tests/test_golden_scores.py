@@ -1,0 +1,81 @@
+"""Full-chain golden-score test: the REAL CLI (eval.py argv surface ->
+config resolution -> MethodBundle checkpoint conversion -> dataset assembly
+-> windowing -> packing -> voxelize -> scan model -> gating -> post-norm ->
+metrics -> output files) on the deterministic synthetic sequence with the
+shipped FireNet+ checkpoint, asserted against goldens produced once by the
+reference torch pipeline (tests/gen_golden_scores.py). Any numeric drift in
+any stage fails here. Reference chain: eval.py:189-246 +
+eval_metrics.py:244-273."""
+
+import json
+import os
+import shutil
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/repo/tools")
+from make_synthetic_sequence import make_sequence  # noqa: E402
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+GOLDEN = os.path.join(HERE, "goldens", "firenet_plus_syn.json")
+REF_CKPT = "/root/reference/pretrained/FireNet+/model.pth"
+
+
+@pytest.mark.slow
+def test_cli_matches_reference_goldens(tmp_path, monkeypatch, capsys):
+    with open(GOLDEN, encoding="utf-8") as f:
+        golden = json.load(f)
+    sc = golden["scenario"]
+
+    monkeypatch.chdir(tmp_path)
+    make_sequence(str(tmp_path / "data" / "SYN" / "seq0"), **sc["sequence"])
+    (tmp_path / "config" / "dataset").mkdir(parents=True)
+    (tmp_path / "config" / "dataset" / "SYN.json").write_text(json.dumps({
+        "root_path": "data/SYN",
+        "sequences": {"seq0": {"start_time_s": sc["start_s"],
+                               "end_time_s": sc["end_s"]}},
+    }))
+    # the eval config must carry the golden gating tolerance; 'std' ships
+    # ts_tol_ms and between_frames windowing — assert instead of assuming
+    from evreal_tpu.harness.config import get_eval_configs
+
+    (ec,) = get_eval_configs(["std"])
+    assert ec["ts_tol_ms"] == sc["ts_tol_ms"]
+
+    ckpt_dir = tmp_path / "pretrained" / "FireNet+"
+    ckpt_dir.mkdir(parents=True)
+    shutil.copy(REF_CKPT, ckpt_dir / "model.pth")
+
+    from evreal_tpu.cli import eval_main
+
+    eval_main(["-m", "FireNet+", "-c", "std", "-d", "SYN",
+               "-qm", "mse", "ssim"])
+    out = capsys.readouterr().out
+    assert "FireNet+" in out
+
+    out_dir = tmp_path / "outputs" / "std" / "SYN" / "seq0" / "FireNet+"
+    ts_rows = [l.split() for l in
+               (out_dir / "timestamps.txt").read_text().splitlines()]
+    mse_rows = [l.split() for l in
+                (out_dir / "mse.txt").read_text().splitlines()]
+    ssim_rows = [l.split() for l in
+                 (out_dir / "ssim.txt").read_text().splitlines()]
+    rows = golden["rows"]
+    assert len(mse_rows) == len(rows), (len(mse_rows), len(rows))
+    assert len(ssim_rows) == len(rows)
+
+    # timestamps.txt spans every processed frame; golden rows are the
+    # quantitatively evaluated subset — match on idx
+    ts_by_idx = {int(i): float(t) for i, t in ts_rows}
+    for g, mrow, srow in zip(rows, mse_rows, ssim_rows):
+        assert int(mrow[0]) == g["idx"]
+        assert int(srow[0]) == g["idx"]
+        assert abs(ts_by_idx[g["idx"]] - g["ts"]) < 1e-9, g
+        assert abs(float(mrow[1]) - g["mse"]) < 2e-4, (mrow, g)
+        assert abs(float(srow[1]) - g["ssim"]) < 2e-3, (srow, g)
+
+    mean_mse = np.mean([g["mse"] for g in rows])
+    got_mse = np.mean([float(r[1]) for r in mse_rows])
+    assert abs(got_mse - mean_mse) < 1e-4
