@@ -7,14 +7,24 @@ sequences evaluated in lockstep as one scanned batch (the reference can only
 process sequences serially; batching is this framework's TPU scaling axis,
 harness/batched.py). Reported fps is aggregate frames/second of wall-clock.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...} plus
+self-diagnosis keys:
+
+- ``probe_tflops`` / ``healthy_probe_tflops`` / ``throttled``: the tunneled
+  chip has been observed clock-throttled to ~11% of peak for hours
+  (BASELINE.md "Chip-state caveat"; the throttle is uniform — an 18 TFLOP/s
+  big-matmul and 79 GB/s HBM were measured in the same state). A fixed
+  known-good chained matmul is timed first so a reader can tell "slow
+  framework" from "sick chip" without external context.
+- ``model_tflops_per_s`` / ``mfu_vs_bf16_peak``: achieved FLOP/s of the
+  pipeline program (XLA cost analysis of the compiled chunk / measured
+  chunk time) and its fraction of the device's bf16 peak — the number that
+  proves fast-vs-correct (reference counterpart: the CudaTimer table,
+  utils/timers.py:28-37).
 
 Baseline: the reference PyTorch pipeline (CPU voxelize + torch forward)
 measured on this machine's host CPU = 3.17 frames/s (see BASELINE.md; the
-reference's own GPU numbers are not published in its repo). Note: the chip
-behind the axon tunnel has been observed throttled to ~11% of peak for
-hours at a time (BASELINE.md "Measured"), which depresses this number
-proportionally.
+reference's own GPU numbers are not published in its repo).
 """
 
 import json
@@ -26,9 +36,82 @@ REF_BASELINE_FPS = 3.17  # reference torch pipeline, this host (BASELINE.md)
 BATCH_N = 16
 CHUNK_T = 32
 
+# fixed probes: best values recorded on this chip in a healthy state
+# (re-measure with `python bench.py --probe-only`). The two degrade
+# independently: a state with MXU at 70% of peak but HBM at 26% has been
+# measured (2026-08-17), and the reverse (uniform clock throttle hitting
+# both) in round 1 — so both probes are needed to classify chip health.
+HEALTHY_PROBE_TFLOPS = 135.0
+HEALTHY_HBM_GBPS = 700.0  # v5e nominal 819; round-1 healthy measurement ~820
+
+def chip_probe(repeats=3):
+    """TFLOP/s of a fixed chained bf16 matmul (16 x 8192^3 = 17.6 TFLOP per
+    call). Big enough that clocks, not tunnel latency or loop overhead,
+    dominate (4096^3 measured 35% slower from loop-carried stalls); the
+    measured throttle is uniform (clocks), so one compute probe suffices."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    n, iters = 8192, 16
+    flops = 2.0 * n * n * n * iters
+
+    @jax.jit
+    def prog(a):
+        def body(_, x):
+            return x @ a * 0.5  # scaled to keep iterations data-dependent
+
+        return lax.fori_loop(0, iters, body, a).sum()
+
+    a = jnp.asarray(np.random.default_rng(0).normal(size=(n, n)) * 0.01,
+                    jnp.bfloat16)
+    float(prog(a))  # compile + warm
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(prog(a))  # scalar fetch: trustworthy fence on this tunnel
+        best = min(best, time.perf_counter() - t0)
+    return flops / best / 1e12
+
+
+def hbm_probe(repeats=3):
+    """GB/s of a fixed chained elementwise pass over 512 MB (fori_loop so
+    XLA cannot fuse the iterations into one kernel; 8 x read+write)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    n, iters = 128 * 1024 * 1024, 8
+    gbytes = 2.0 * iters * n * 4 / 1e9
+
+    @jax.jit
+    def prog(x):
+        def body(_, v):
+            return v * 1.0000001
+
+        return lax.fori_loop(0, iters, body, x).sum()
+
+    x = jnp.ones((n,), jnp.float32)
+    float(prog(x))
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(prog(x))
+        best = min(best, time.perf_counter() - t0)
+    return gbytes / best
+
+
+def pipeline_flops_per_chunk(runner, state, buffers):
+    """XLA's FLOP estimate for one compiled chunk step (N*T frames)."""
+    from evreal_tpu.utils.mfu import compiled_flops
+
+    return compiled_flops(
+        runner._fn, runner._params_cast, state, buffers["xs"],
+        buffers["ys"], buffers["ts"], buffers["ps"], buffers["count"])
+
 
 def main():
-    import os
+    import sys
 
     import jax
 
@@ -40,6 +123,19 @@ def main():
     # observed taking minutes when the chip is degraded; later runs (incl.
     # the driver's) reuse the cached executable
     enable_compile_cache()
+
+    probe_tflops = chip_probe()
+    probe_hbm = hbm_probe()
+    throttled = (probe_tflops < 0.5 * HEALTHY_PROBE_TFLOPS
+                 or probe_hbm < 0.5 * HEALTHY_HBM_GBPS)
+    probes = {"probe_tflops": round(probe_tflops, 1),
+              "healthy_probe_tflops": HEALTHY_PROBE_TFLOPS,
+              "probe_hbm_gbps": round(probe_hbm, 1),
+              "healthy_hbm_gbps": HEALTHY_HBM_GBPS,
+              "throttled": throttled}
+    if "--probe-only" in sys.argv:
+        print(json.dumps(probes))
+        return
 
     h, w, n_events = 180, 240, 30000
     model, params = build_flagship_e2vid(seed=0)
@@ -82,12 +178,23 @@ def main():
                    (time.perf_counter() - t0) / (iters * CHUNK_T * BATCH_N))
 
     fps = 1.0 / best
-    print(json.dumps({
+
+    out = {
         "metric": "e2vid_recon_fps_ecd_b16",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / REF_BASELINE_FPS, 2),
-    }))
+        **probes,
+    }
+    flops_chunk = pipeline_flops_per_chunk(runner, state, buffers)
+    if flops_chunk:
+        from evreal_tpu.utils.mfu import mfu
+
+        achieved, frac = mfu(flops_chunk, best * CHUNK_T * BATCH_N)
+        out["model_tflops_per_s"] = round(achieved, 2)
+        if frac is not None:
+            out["mfu_vs_bf16_peak"] = round(frac, 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -142,7 +142,16 @@ def bench_method(method, ckpt_path, h=180, w=240, n_events=30000,
             state, imgs, clipped = runner.run(state, buffers)
         float(clipped.sum())  # value fetch = trustworthy fence
         best = min(best, (time.perf_counter() - t0) / (iters * chunk_t))
-    return best * 1e3
+
+    from evreal_tpu.utils.mfu import compiled_flops, mfu
+
+    flops_chunk = compiled_flops(
+        runner._fn, runner._params_cast, state, buffers["xs"],
+        buffers["ys"], buffers["ts"], buffers["ps"], buffers["count"])
+    tflops = frac = None
+    if flops_chunk:
+        tflops, frac = mfu(flops_chunk, best * chunk_t)
+    return best * 1e3, tflops, frac
 
 
 ALL = ["E2VID", "E2VID+", "FireNet", "FireNet+", "SPADE-E2VID",
@@ -167,11 +176,18 @@ def main():
             if method not in paths:
                 print(f"{method}: no checkpoint available", flush=True)
                 continue
-            ms = bench_method(method, paths[method])
-            results[method] = ms
-            print(f"{method}: {ms:.2f} ms/frame ({1000.0 / ms:.0f} fps)",
-                  flush=True)
-        print(json.dumps({k: round(v, 3) for k, v in results.items()}))
+            ms, tflops, frac = bench_method(method, paths[method])
+            results[method] = {"ms_per_frame": round(ms, 3)}
+            extra = ""
+            if tflops is not None:
+                results[method]["tflops_per_s"] = round(tflops, 2)
+                extra = f", {tflops:.1f} TFLOP/s"
+                if frac is not None:
+                    results[method]["mfu_vs_bf16_peak"] = round(frac, 4)
+                    extra += f", {100 * frac:.1f}% of bf16 peak"
+            print(f"{method}: {ms:.2f} ms/frame ({1000.0 / ms:.0f} fps"
+                  f"{extra})", flush=True)
+        print(json.dumps(results))
 
 
 if __name__ == "__main__":
