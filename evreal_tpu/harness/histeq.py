@@ -39,11 +39,20 @@ def _disk(radius):
 def equalize_local(img, radius=55):
     """skimage.filters.rank.equalize(img_as_ubyte(img), disk(55)) equivalent:
     per pixel, rank of the center value within the footprint histogram,
-    normalized by footprint population. Computed as a stack of box-filtered
-    indicator images (one per occupied gray level)."""
+    normalized by footprint population. Hot path: the native C++
+    sliding-histogram kernel (native/histeq.cpp, ~13 ms/frame at ECD
+    resolution vs 400-600 ms for the cv2 fallback below, bit-identical);
+    fallback: a stack of box-filtered indicator images (one per occupied
+    gray level)."""
     import cv2
 
     u = _img_as_ubyte(img)
+
+    from evreal_tpu import native
+
+    fast = native.rank_equalize(np.ascontiguousarray(u), radius)
+    if fast is not None:
+        return (fast / 255.0).astype(np.float32)
     footprint = _disk(radius).astype(np.float32)
     pop = cv2.filter2D(np.ones_like(u, np.float32), -1, footprint,
                        borderType=cv2.BORDER_CONSTANT)

@@ -1,10 +1,12 @@
 """Native (C++) runtime components, loaded through ctypes.
 
-The only component so far is the fused event-window packer (packer.cpp) —
-the hot host-side loop of the data layer. It is compiled on first use with
-the system C++ compiler into ``_packer.so`` next to the source; if
-compilation fails (no compiler, read-only tree) everything falls back to the
-pure-numpy implementation in ``evreal_tpu.data.packing`` transparently.
+Components: the fused event-window packer (packer.cpp — the hot host-side
+loop of the data layer) and the sliding-histogram disk rank-equalize
+(histeq.cpp — the hot loop of ``histeq=local`` post-processing). All
+sources compile on first use with the system C++ compiler into
+``_native.so`` next to the sources; if compilation fails (no compiler,
+read-only tree) every caller falls back to its pure-numpy implementation
+transparently.
 
 ``EVREAL_NATIVE=0`` disables the native path.
 """
@@ -15,15 +17,16 @@ import subprocess
 import tempfile
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_DIR, "packer.cpp")
-_LIB = os.path.join(_DIR, "_packer.so")
+_SRCS = [os.path.join(_DIR, "packer.cpp"), os.path.join(_DIR, "histeq.cpp")]
+_LIB = os.path.join(_DIR, "_native.so")
 
 _lib = "unset"
 
 
 def _build():
     if (os.path.exists(_LIB)
-            and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC)):
+            and all(os.path.getmtime(_LIB) >= os.path.getmtime(s)
+                    for s in _SRCS)):
         return _LIB
     for cxx in ("g++", "c++", "clang++"):
         tmp = None
@@ -31,7 +34,7 @@ def _build():
             fd, tmp = tempfile.mkstemp(suffix=".so", dir=_DIR)
             os.close(fd)
             subprocess.run(
-                [cxx, "-O3", "-shared", "-fPIC", "-std=c++17", _SRC,
+                [cxx, "-O3", "-shared", "-fPIC", "-std=c++17", *_SRCS,
                  "-o", tmp],
                 check=True, capture_output=True, timeout=120)
             os.replace(tmp, _LIB)
@@ -44,7 +47,7 @@ def _build():
 
 
 def load():
-    """The packer library, or None if unavailable/disabled."""
+    """The native library, or None if unavailable/disabled."""
     global _lib
     if _lib == "unset":
         _lib = None
@@ -54,6 +57,7 @@ def load():
                 try:
                     lib = ctypes.CDLL(path)
                     lib.evreal_pack_i16.restype = ctypes.c_int
+                    lib.evreal_rank_equalize.restype = ctypes.c_int
                     _lib = lib
                 except OSError:
                     _lib = None
@@ -84,3 +88,24 @@ def pack_i16(ts, xy, p, idx0, idx1, capacity, out):
     if rc != 0:
         raise ValueError("evreal_pack_i16: window exceeds capacity or bounds")
     return True
+
+
+def rank_equalize(u8_img, radius):
+    """Disk rank-equalize of a C-contiguous uint8 (H, W) image. Returns the
+    uint8 result, or None -> caller should use the Python fallback."""
+    import numpy as np
+
+    lib = load()
+    if lib is None:
+        return None
+    if (u8_img.dtype != np.uint8 or u8_img.ndim != 2
+            or not u8_img.flags["C_CONTIGUOUS"]):
+        return None
+    out = np.empty_like(u8_img)
+    rc = lib.evreal_rank_equalize(
+        ctypes.c_void_p(u8_img.ctypes.data),
+        ctypes.c_int64(u8_img.shape[0]), ctypes.c_int64(u8_img.shape[1]),
+        ctypes.c_int64(radius), ctypes.c_void_p(out.ctypes.data))
+    if rc != 0:
+        return None
+    return out

@@ -28,17 +28,25 @@ def bf16_peak_tflops(device=None):
     return BF16_PEAK_TFLOPS.get(getattr(device, "device_kind", None))
 
 
-def compiled_flops(jitted, *args, **kwargs):
-    """XLA's FLOP estimate for one call of a jitted function at these
-    arguments, or None when cost analysis is unavailable (best-effort:
-    interpreters/older backends may not expose it)."""
+def compiled_cost(jitted, *args, **kwargs):
+    """(flops, bytes_accessed) XLA estimates for one call of a jitted
+    function at these arguments; either may be None when cost analysis is
+    unavailable (best-effort: interpreters/older backends may not expose
+    it). bytes_accessed is XLA's HBM-traffic estimate — flops/bytes is the
+    program's operational intensity, which classifies it against the
+    device ridge point (peak_flops/peak_bw ~ 240 FLOP/B on v5e bf16)."""
     try:
         cost = jitted.lower(*args, **kwargs).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        return float(cost.get("flops", 0.0)) or None
+        return (float(cost.get("flops", 0.0)) or None,
+                float(cost.get("bytes accessed", 0.0)) or None)
     except Exception:  # noqa: BLE001 — diagnostics must never break a bench
-        return None
+        return None, None
+
+
+def compiled_flops(jitted, *args, **kwargs):
+    return compiled_cost(jitted, *args, **kwargs)[0]
 
 
 def mfu(flops, seconds, device=None):

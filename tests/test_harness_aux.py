@@ -124,3 +124,26 @@ def test_async_image_writer_flush_and_error(tmp_path):
     import pytest as _pytest
     with _pytest.raises(Exception):
         w.close()
+
+
+def test_equalize_local_native_matches_fallback():
+    """The C++ sliding-histogram kernel (native/histeq.cpp) must be
+    bit-identical to the per-gray-level cv2 fallback across shapes,
+    including dims smaller than the disk radius."""
+    from evreal_tpu import native
+
+    if native.load() is None:
+        import pytest
+
+        pytest.skip("no C++ toolchain")
+    rng = np.random.default_rng(7)
+    for shape, radius in [((180, 240), 55), ((40, 30), 55), ((9, 64), 8),
+                          ((64, 9), 8), ((1, 1), 3), ((100, 100), 1)]:
+        img = rng.uniform(0, 1, shape).astype(np.float32)
+        fast = equalize_local(img, radius=radius)
+        prev, native._lib = native._lib, None  # force the fallback
+        try:
+            slow = equalize_local(img, radius=radius)
+        finally:
+            native._lib = prev
+        assert np.array_equal(fast, slow), (shape, radius)

@@ -143,15 +143,17 @@ def bench_method(method, ckpt_path, h=180, w=240, n_events=30000,
         float(clipped.sum())  # value fetch = trustworthy fence
         best = min(best, (time.perf_counter() - t0) / (iters * chunk_t))
 
-    from evreal_tpu.utils.mfu import compiled_flops, mfu
+    from evreal_tpu.utils.mfu import compiled_cost, mfu
 
-    flops_chunk = compiled_flops(
+    flops_chunk, bytes_chunk = compiled_cost(
         runner._fn, runner._params_cast, state, buffers["xs"],
         buffers["ys"], buffers["ts"], buffers["ps"], buffers["count"])
-    tflops = frac = None
+    tflops = frac = gbps = None
     if flops_chunk:
         tflops, frac = mfu(flops_chunk, best * chunk_t)
-    return best * 1e3, tflops, frac
+    if bytes_chunk:
+        gbps = bytes_chunk / (best * chunk_t) / 1e9
+    return best * 1e3, tflops, frac, gbps
 
 
 ALL = ["E2VID", "E2VID+", "FireNet", "FireNet+", "SPADE-E2VID",
@@ -176,15 +178,18 @@ def main():
             if method not in paths:
                 print(f"{method}: no checkpoint available", flush=True)
                 continue
-            ms, tflops, frac = bench_method(method, paths[method])
+            ms, tflops, frac, gbps = bench_method(method, paths[method])
             results[method] = {"ms_per_frame": round(ms, 3)}
             extra = ""
             if tflops is not None:
                 results[method]["tflops_per_s"] = round(tflops, 2)
-                extra = f", {tflops:.1f} TFLOP/s"
+                extra = f", {tflops:.2f} TFLOP/s"
                 if frac is not None:
                     results[method]["mfu_vs_bf16_peak"] = round(frac, 4)
-                    extra += f", {100 * frac:.1f}% of bf16 peak"
+                    extra += f" = {100 * frac:.2f}% MXU peak"
+            if gbps is not None:
+                results[method]["hbm_gbps"] = round(gbps, 1)
+                extra += f", {gbps:.0f} GB/s HBM"
             print(f"{method}: {ms:.2f} ms/frame ({1000.0 / ms:.0f} fps"
                   f"{extra})", flush=True)
         print(json.dumps(results))
