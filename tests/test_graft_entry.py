@@ -17,6 +17,24 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def test_entry_compiles_and_runs():
+    """The driver's single-chip contract: entry() returns a jittable fn
+    plus example args; it must compile and execute (CPU here — the test
+    conftest pins jax_default_device)."""
+    import jax
+    import numpy as np
+
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    img, state = jax.jit(fn)(*args)
+    assert img.shape[0] == 1 and img.ndim == 4
+    assert np.isfinite(np.asarray(img)).all()
+    # recurrent: a second step with the returned state must also run
+    img2, _ = jax.jit(fn)(args[0], state, args[2])
+    assert img2.shape == img.shape
+
+
 @pytest.mark.slow
 def test_dryrun_multichip_hermetic():
     env = dict(os.environ)
