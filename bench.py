@@ -101,15 +101,6 @@ def hbm_probe(repeats=3):
     return gbytes / best
 
 
-def pipeline_flops_per_chunk(runner, state, buffers):
-    """XLA's FLOP estimate for one compiled chunk step (N*T frames)."""
-    from evreal_tpu.utils.mfu import compiled_flops
-
-    return compiled_flops(
-        runner._fn, runner._params_cast, state, buffers["xs"],
-        buffers["ys"], buffers["ts"], buffers["ps"], buffers["count"])
-
-
 def main():
     import sys
 
@@ -186,7 +177,7 @@ def main():
         "vs_baseline": round(fps / REF_BASELINE_FPS, 2),
         **probes,
     }
-    flops_chunk = pipeline_flops_per_chunk(runner, state, buffers)
+    flops_chunk, _ = runner.cost_analysis(state, buffers)
     if flops_chunk:
         from evreal_tpu.utils.mfu import mfu
 

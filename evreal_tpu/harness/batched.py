@@ -131,6 +131,17 @@ class BatchedRunner:
             return jax.jit(sharded)
         return jax.jit(fn)
 
+    def cost_analysis(self, state, buffers):
+        """(flops, bytes_accessed) XLA estimates of one ``run`` call at
+        these shapes, or (None, None) — see utils.mfu.compiled_cost."""
+        from evreal_tpu.utils.mfu import compiled_cost
+
+        if self._fn is None:
+            self._fn = self._build()
+        return compiled_cost(self._fn, self._params_cast, state,
+                             buffers["xs"], buffers["ys"], buffers["ts"],
+                             buffers["ps"], buffers["count"])
+
     def run(self, state, buffers):
         # one jitted fn; jax.jit caches per input-shape signature
         if self._fn is None:

@@ -40,8 +40,8 @@ def equalize_local(img, radius=55):
     """skimage.filters.rank.equalize(img_as_ubyte(img), disk(55)) equivalent:
     per pixel, rank of the center value within the footprint histogram,
     normalized by footprint population. Hot path: the native C++
-    sliding-histogram kernel (native/histeq.cpp, ~13 ms/frame at ECD
-    resolution vs 400-600 ms for the cv2 fallback below, bit-identical);
+    sliding-histogram kernel (native/histeq.cpp, measured 45 ms/frame at
+    ECD resolution vs 400-600 ms for the cv2 fallback below, bit-identical);
     fallback: a stack of box-filtered indicator images (one per occupied
     gray level)."""
     import cv2

@@ -162,11 +162,16 @@ def _repo_root():
 def _converted_cache_path(method_name, pth):
     """Repo-local cache location for a converted checkpoint. Keyed by method
     name plus a digest of the source path so switching a method's
-    ``model_path`` never picks up a stale conversion. Never a sibling of the
-    source ``.pth`` — the source tree may be read-only or external."""
-    digest = hashlib.sha1(os.path.abspath(pth).encode()).hexdigest()[:10]
+    ``model_path`` never picks up a stale conversion. In-repo sources are
+    keyed by repo-relative path, so a cache entry stays valid across
+    checkout locations; external sources by absolute path. Never a sibling
+    of the source ``.pth`` — the source tree may be read-only or external."""
+    ap = os.path.abspath(pth)
+    root = _repo_root()
+    key = os.path.relpath(ap, root) if ap.startswith(root + os.sep) else ap
+    digest = hashlib.sha1(key.encode()).hexdigest()[:10]
     stem = os.path.splitext(os.path.basename(pth))[0]
-    return os.path.join(_repo_root(), "weights", "converted", method_name,
+    return os.path.join(root, "weights", "converted", method_name,
                         f"{stem}-{digest}.npz")
 
 
@@ -212,13 +217,18 @@ def load_method_params(method_config):
         return load_params(path)
     except FileNotFoundError:
         # explicit .npz without its meta sidecar (e.g. the sidecar write
-        # failed on a previous run): re-convert from the .pth if present
-        # rather than staying permanently broken
+        # failed on a previous run): fall back to the repo cache, converting
+        # from the .pth once if needed, rather than staying permanently
+        # broken or re-converting on every run
         if not os.path.exists(pth):
             raise
-        return _convert_and_cache(
-            method_config["model_name"], pth,
-            _converted_cache_path(method_config["model_name"], pth))
+        cache = _converted_cache_path(method_config["model_name"], pth)
+        if os.path.exists(cache):
+            try:
+                return load_params(cache)
+            except FileNotFoundError:
+                pass  # cache lost its sidecar too: re-convert below
+        return _convert_and_cache(method_config["model_name"], pth, cache)
 
 
 def split_groups(groups, cap_n):
@@ -292,7 +302,7 @@ def fence(tree):
 
 def make_metric_containment(runner, scope):
     """Dead-metric bookkeeping shared by the single-sequence and batched
-    runners. Returns (live, probe_metrics, fetch_scores):
+    runners. Returns (live, probe_metrics, fetch_scores, dead):
 
     - ``live(specs)`` filters out metrics already dropped;
     - ``probe_metrics`` re-runs metrics one at a time on a chunk to find
@@ -302,7 +312,10 @@ def make_metric_containment(runner, scope):
       surface at real execution — this is the runtime half of the
       reference's per-metric containment (eval_metrics.py:233-242);
     - ``fetch_scores`` np-ifies a score dict, falling back to the probe on
-      an async runtime failure.
+      an async runtime failure;
+    - ``dead`` is the live, mutating set of dropped metric names — pass it
+      to ``tracker.finalize(dropped=dead)`` so incomplete metrics are
+      excluded from the done.json completion record.
     """
     dead = set()
 
@@ -430,6 +443,17 @@ class MethodRunner:
         # InvalidArgument on device->host transfers under the axon TPU
         # plugin (outputs alias donated storage); state is small anyway.
         return jax.jit(fn)
+
+    def cost_analysis(self, state, buffers):
+        """(flops, bytes_accessed) XLA estimates of one ``run`` call at
+        these shapes, or (None, None) — see utils.mfu.compiled_cost."""
+        from evreal_tpu.utils.mfu import compiled_cost
+
+        if self._fn is None:
+            self._fn = self._build()
+        return compiled_cost(self._fn, self._params_cast, state,
+                             buffers["xs"], buffers["ys"], buffers["ts"],
+                             buffers["ps"], buffers["count"])
 
     def run(self, state, buffers):
         # one jitted fn; jax.jit already caches compilations per

@@ -7,7 +7,10 @@ The reference queues frames and runs pyiqa in batches of 4; here the
 callback is registered with ``vmap_method="expand_dims"`` so the harness's
 chunk-level vmap hands the host one batched ``(T, H, W)`` call per chunk —
 the whole chunk is a single pyiqa forward, and the device pipeline stays
-async around it. Grayscale [0, 1] frames are repeated to 3 channels exactly
+async around it. The host fn accepts any number of leading batch dims
+(each vmap level adds one): zero for the trace probe, one in the
+single-sequence runner, two under the batched group runner's (N, T)
+double vmap. Grayscale [0, 1] frames are repeated to 3 channels exactly
 like the reference's ``cv2torch(img, num_ch=3)``.
 
 pyiqa is absent in minimal installs; ``make_pyiqa_spec`` then returns None
@@ -25,22 +28,24 @@ def _host_batch_fn(metric, no_ref):
     def host_batch(*arrays):
         import torch
 
+        # accept any number of leading batch dims: zero for the unbatched
+        # trace-probe call, one under the sequence runner's chunk vmap,
+        # two under the batched group runner's (N, T) double vmap
+        # (each vmap level adds one under vmap_method="expand_dims")
         imgs = np.asarray(arrays[0], np.float32)
-        squeeze = imgs.ndim == 2  # unbatched (trace-probe) call
-        if squeeze:
-            imgs = imgs[None]
-        t = torch.from_numpy(np.repeat(imgs[:, None], 3, axis=1))
+        lead = imgs.shape[:-2]
+        flat = imgs.reshape((-1,) + imgs.shape[-2:])
+        t = torch.from_numpy(np.repeat(flat[:, None], 3, axis=1))
         with torch.no_grad():
             if no_ref:
                 score = metric(t)
             else:
                 refs = np.asarray(arrays[1], np.float32)
-                if squeeze:
-                    refs = refs[None]
-                r = torch.from_numpy(np.repeat(refs[:, None], 3, axis=1))
-                score = metric(t, r)
+                r = refs.reshape((-1,) + refs.shape[-2:])
+                score = metric(t, torch.from_numpy(
+                    np.repeat(r[:, None], 3, axis=1)))
         out = np.asarray(score.detach().cpu(), np.float32).reshape(-1)
-        return out[0] if squeeze else out
+        return out.reshape(lead)
 
     return host_batch
 

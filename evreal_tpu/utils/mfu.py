@@ -45,10 +45,6 @@ def compiled_cost(jitted, *args, **kwargs):
         return None, None
 
 
-def compiled_flops(jitted, *args, **kwargs):
-    return compiled_cost(jitted, *args, **kwargs)[0]
-
-
 def mfu(flops, seconds, device=None):
     """(achieved_tflops_per_s, fraction_of_bf16_peak | None)."""
     achieved = flops / seconds / 1e12

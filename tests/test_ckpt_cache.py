@@ -91,3 +91,16 @@ def test_sibling_npz_read_path_still_honored(tmp_path, monkeypatch):
     params, meta2 = runner.load_method_params(cfg)
     assert meta2 == meta
     assert not (fake_repo / "weights").exists()
+
+
+def test_cache_key_portable_for_in_repo_sources(monkeypatch, tmp_path):
+    """In-repo checkpoints are keyed by repo-relative path, so a shipped
+    conversion cache resolves identically from any checkout location."""
+    keys = []
+    for root in (tmp_path / "checkout_a", tmp_path / "checkout_b"):
+        root.mkdir()
+        monkeypatch.setattr(runner, "_repo_root", lambda r=root: str(r))
+        p = runner._converted_cache_path(
+            "FireNet+", str(root / "pretrained" / "FireNet+" / "model.pth"))
+        keys.append(os.path.relpath(p, root))
+    assert keys[0] == keys[1]

@@ -74,6 +74,19 @@ def test_bridge_scores_match_host_oracle(fake_pyiqa):
     one = jax.jit(nr.fn)(jnp.asarray(imgs[0]))
     np.testing.assert_allclose(float(one), imgs[0].mean(), rtol=1e-6)
 
+    # the batched group runner double-vmaps metric fns over (N, T)
+    # (batched.py metric_scores) — the host callback then sees a 4-d array
+    nimgs = rng.uniform(0, 1, (3, 4, 16, 24)).astype(np.float32)
+    nrefs = rng.uniform(0, 1, (3, 4, 16, 24)).astype(np.float32)
+    got2 = jax.jit(jax.vmap(jax.vmap(nr.fn)))(jnp.asarray(nimgs))
+    np.testing.assert_allclose(np.asarray(got2), nimgs.mean((2, 3)),
+                               rtol=1e-6)
+    got2f = jax.jit(jax.vmap(jax.vmap(fr.fn)))(jnp.asarray(nimgs),
+                                               jnp.asarray(nrefs))
+    np.testing.assert_allclose(np.asarray(got2f),
+                               np.abs(nimgs - nrefs).mean((2, 3)),
+                               rtol=1e-6)
+
 
 def test_bridged_metric_through_full_harness(fake_pyiqa, tmp_path,
                                              monkeypatch, seq_dir):

@@ -143,11 +143,9 @@ def bench_method(method, ckpt_path, h=180, w=240, n_events=30000,
         float(clipped.sum())  # value fetch = trustworthy fence
         best = min(best, (time.perf_counter() - t0) / (iters * chunk_t))
 
-    from evreal_tpu.utils.mfu import compiled_cost, mfu
+    from evreal_tpu.utils.mfu import mfu
 
-    flops_chunk, bytes_chunk = compiled_cost(
-        runner._fn, runner._params_cast, state, buffers["xs"],
-        buffers["ys"], buffers["ts"], buffers["ps"], buffers["count"])
+    flops_chunk, bytes_chunk = runner.cost_analysis(state, buffers)
     tflops = frac = gbps = None
     if flops_chunk:
         tflops, frac = mfu(flops_chunk, best * chunk_t)
