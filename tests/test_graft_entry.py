@@ -48,3 +48,20 @@ def test_dryrun_multichip_hermetic():
         cwd=REPO, env=env, capture_output=True, text=True, timeout=900)
     assert proc.returncode == 0, (proc.stdout, proc.stderr)
     assert "dryrun_multichip(8): ok" in proc.stdout, proc.stdout
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_survives_preinitialized_backend():
+    """If the caller's process already initialized a jax backend (so the
+    virtual-device flag can't take effect), the dryrun must re-exec itself
+    hermetically instead of failing."""
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    code = ("import jax; jax.devices('cpu'); "  # backend init, 1 CPU device
+            "import __graft_entry__ as g; g.dryrun_multichip(8)")
+    proc = subprocess.run([sys.executable, "-c", code], cwd=REPO, env=env,
+                          capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, (proc.stdout, proc.stderr)
+    assert "dryrun_multichip(8): ok" in proc.stdout, proc.stdout
