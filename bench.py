@@ -21,6 +21,10 @@ self-diagnosis keys:
   chunk time) and its fraction of the device's bf16 peak — the number that
   proves fast-vs-correct (reference counterpart: the CudaTimer table,
   utils/timers.py:28-37).
+- ``device_resident_fps``: the same pipeline with event buffers pre-staged
+  in HBM — the spread vs ``value`` is the tunnel's host->device cost
+  (a test-harness artifact; production H2D rides PCIe with
+  double-buffering).
 
 Baseline: the reference PyTorch pipeline (CPU voxelize + torch forward)
 measured on this machine's host CPU = 3.17 frames/s (see BASELINE.md; the
@@ -170,11 +174,28 @@ def main():
 
     fps = 1.0 / best
 
+    # device-resident variant: same program, event buffers pre-staged in
+    # HBM. Separates the pipeline from the axon tunnel's host->device path
+    # (184 MB/chunk; production H2D rides PCIe with double-buffering, the
+    # tunnel has been measured from 0.84 GB/s down to ~30 MB/s) — the
+    # spread between the two numbers IS the tunnel artifact.
+    dev_bufs = {k: jax.device_put(v) for k, v in buffers.items()}
+    jax.block_until_ready(dev_bufs)
+    best_dev = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, imgs, _ = runner.run(state, dev_bufs)
+        float(imgs.sum())
+        best_dev = min(best_dev, (time.perf_counter() - t0)
+                       / (iters * CHUNK_T * BATCH_N))
+
     out = {
         "metric": "e2vid_recon_fps_ecd_b16",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / REF_BASELINE_FPS, 2),
+        "device_resident_fps": round(1.0 / best_dev, 2),
         **probes,
     }
     flops_chunk, _ = runner.cost_analysis(state, buffers)
