@@ -1,14 +1,15 @@
 #!/usr/bin/env python
-"""Generate tests/goldens/firenet_plus_syn.json — the full-chain golden:
-per-frame (idx, timestamp, mse, ssim) of the reference torch pipeline
-(MemMapDataset windowing + torch FireNet+ with the shipped checkpoint +
-CropParameters pad/crop + clip + skimage-semantics mse/ssim; reference
-eval.py:189-246 + eval_metrics.py:244-273) on the deterministic synthetic
-sequence. tests/test_golden_scores.py replays the SAME sequence through the
-real CLI and asserts the output files against this record, locking
+"""Generate tests/goldens/*.json — full-chain goldens: per-frame
+(idx, timestamp, mse, ssim) of the reference torch pipeline (MemMapDataset
+windowing + torch FireNet+ with the shipped checkpoint + CropParameters
+pad/crop + clip + skimage-semantics mse/ssim; reference eval.py:189-246 +
+eval_metrics.py:244-273) on the deterministic synthetic sequence, for two
+windowing modes (the shipped `std` and `t50ms` eval configs).
+tests/test_golden_scores.py replays the SAME sequence through the real CLI
+and asserts the output files against these records, locking
 windowing+packing+voxelize+model+gating+post-norm+metric numerics together.
 
-Run from the repo root (the output is checked in; regenerate only if the
+Run from the repo root (the outputs are checked in; regenerate only if a
 golden scenario itself changes):
 
     python -m tests.gen_golden_scores
@@ -22,11 +23,16 @@ import tempfile
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 
-# the golden scenario — shared verbatim with test_golden_scores.py
+# the golden scenarios — shared verbatim with test_golden_scores.py
 SEQ_KW = {"height": 48, "width": 64, "duration_s": 1.0, "fps": 20,
           "events_per_frame": 1200, "seed": 11}
 START_S, END_S = 0.1, 0.8
 TS_TOL_MS = 1.0
+SCENARIOS = [
+    ("firenet_plus_syn", "std", None),
+    ("firenet_plus_syn_t50ms", "t50ms",
+     {"method": "t_seconds", "t": 0.05, "sliding_window_t": 0}),
+]
 
 
 def main():
@@ -39,20 +45,26 @@ def main():
     with tempfile.TemporaryDirectory() as d:
         seq_dir = os.path.join(d, "seq0")
         make_sequence(seq_dir, **SEQ_KW)
-        rows = reference_pipeline(seq_dir, START_S, END_S,
-                                  ts_tol_ms=TS_TOL_MS)
-    out = {
-        "scenario": {"sequence": SEQ_KW, "start_s": START_S, "end_s": END_S,
-                     "ts_tol_ms": TS_TOL_MS,
-                     "checkpoint": "/root/reference/pretrained/FireNet+"},
-        "rows": [{"idx": idx, "ts": ts, "mse": mse, "ssim": ssim}
-                 for idx, ts, mse, ssim in rows],
-    }
-    path = os.path.join(HERE, "goldens", "firenet_plus_syn.json")
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    with open(path, "w", encoding="utf-8") as f:
-        json.dump(out, f, indent=1)
-    print(f"wrote {path}: {len(rows)} golden rows")
+        for name, eval_cfg, voxel_method in SCENARIOS:
+            rows = reference_pipeline(seq_dir, START_S, END_S,
+                                      ts_tol_ms=TS_TOL_MS,
+                                      voxel_method=voxel_method)
+            assert rows, f"scenario {name} produced no evaluated frames"
+            out = {
+                "scenario": {"sequence": SEQ_KW, "start_s": START_S,
+                             "end_s": END_S, "ts_tol_ms": TS_TOL_MS,
+                             "eval_config": eval_cfg,
+                             "voxel_method": voxel_method,
+                             "checkpoint":
+                                 "/root/reference/pretrained/FireNet+"},
+                "rows": [{"idx": idx, "ts": ts, "mse": mse, "ssim": ssim}
+                         for idx, ts, mse, ssim in rows],
+            }
+            path = os.path.join(HERE, "goldens", name + ".json")
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            with open(path, "w", encoding="utf-8") as f:
+                json.dump(out, f, indent=1)
+            print(f"wrote {path}: {len(rows)} golden rows")
 
 
 if __name__ == "__main__":

@@ -44,7 +44,8 @@ def seq_dir(tmp_path_factory):
     return str(d)
 
 
-def reference_pipeline(seq_dir, start_s, end_s, ts_tol_ms=1.0):
+def reference_pipeline(seq_dir, start_s, end_s, ts_tol_ms=1.0,
+                       voxel_method=None):
     """Reference eval loop semantics (eval.py:189-246) in torch on CPU."""
     import torch
 
@@ -60,8 +61,9 @@ def reference_pipeline(seq_dir, start_s, end_s, ts_tol_ms=1.0):
     model.num_encoders = 0
     model.reset_states()
 
-    ds = ds_mod.MemMapDataset(seq_dir, num_bins=5,
-                              voxel_method={"method": "between_frames"})
+    ds = ds_mod.MemMapDataset(
+        seq_dir, num_bins=5,
+        voxel_method=voxel_method or {"method": "between_frames"})
     h, w = ds.sensor_resolution
     cropper = util.CropParameters(w, h, 0)
     rows = []

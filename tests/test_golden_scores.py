@@ -1,10 +1,11 @@
-"""Full-chain golden-score test: the REAL CLI (eval.py argv surface ->
+"""Full-chain golden-score tests: the REAL CLI (eval.py argv surface ->
 config resolution -> MethodBundle checkpoint conversion -> dataset assembly
 -> windowing -> packing -> voxelize -> scan model -> gating -> post-norm ->
 metrics -> output files) on the deterministic synthetic sequence with the
 shipped FireNet+ checkpoint, asserted against goldens produced once by the
-reference torch pipeline (tests/gen_golden_scores.py). Any numeric drift in
-any stage fails here. Reference chain: eval.py:189-246 +
+reference torch pipeline (tests/gen_golden_scores.py) — for both the
+between_frames (`std`) and t_seconds (`t50ms`) windowing modes. Any
+numeric drift in any stage fails here. Reference chain: eval.py:189-246 +
 eval_metrics.py:244-273."""
 
 import json
@@ -19,15 +20,19 @@ sys.path.insert(0, "/root/repo/tools")
 from make_synthetic_sequence import make_sequence  # noqa: E402
 
 HERE = os.path.dirname(os.path.abspath(__file__))
-GOLDEN = os.path.join(HERE, "goldens", "firenet_plus_syn.json")
 REF_CKPT = "/root/reference/pretrained/FireNet+/model.pth"
 
 
 @pytest.mark.slow
-def test_cli_matches_reference_goldens(tmp_path, monkeypatch, capsys):
-    with open(GOLDEN, encoding="utf-8") as f:
+@pytest.mark.parametrize("golden_name", ["firenet_plus_syn",
+                                         "firenet_plus_syn_t50ms"])
+def test_cli_matches_reference_goldens(golden_name, tmp_path, monkeypatch,
+                                       capsys):
+    with open(os.path.join(HERE, "goldens", golden_name + ".json"),
+              encoding="utf-8") as f:
         golden = json.load(f)
     sc = golden["scenario"]
+    cfg_name = sc["eval_config"]
 
     monkeypatch.chdir(tmp_path)
     make_sequence(str(tmp_path / "data" / "SYN" / "seq0"), **sc["sequence"])
@@ -37,12 +42,14 @@ def test_cli_matches_reference_goldens(tmp_path, monkeypatch, capsys):
         "sequences": {"seq0": {"start_time_s": sc["start_s"],
                                "end_time_s": sc["end_s"]}},
     }))
-    # the eval config must carry the golden gating tolerance; 'std' ships
-    # ts_tol_ms and between_frames windowing — assert instead of assuming
+    # the shipped eval config must carry the golden scenario's windowing
+    # and gating — assert instead of assuming
     from evreal_tpu.harness.config import get_eval_configs
 
-    (ec,) = get_eval_configs(["std"])
+    (ec,) = get_eval_configs([cfg_name])
     assert ec["ts_tol_ms"] == sc["ts_tol_ms"]
+    want_vm = sc["voxel_method"] or {"method": "between_frames"}
+    assert ec["dataset_kwargs"]["voxel_method"] == want_vm
 
     ckpt_dir = tmp_path / "pretrained" / "FireNet+"
     ckpt_dir.mkdir(parents=True)
@@ -50,12 +57,12 @@ def test_cli_matches_reference_goldens(tmp_path, monkeypatch, capsys):
 
     from evreal_tpu.cli import eval_main
 
-    eval_main(["-m", "FireNet+", "-c", "std", "-d", "SYN",
+    eval_main(["-m", "FireNet+", "-c", cfg_name, "-d", "SYN",
                "-qm", "mse", "ssim"])
     out = capsys.readouterr().out
     assert "FireNet+" in out
 
-    out_dir = tmp_path / "outputs" / "std" / "SYN" / "seq0" / "FireNet+"
+    out_dir = tmp_path / "outputs" / cfg_name / "SYN" / "seq0" / "FireNet+"
     ts_rows = [l.split() for l in
                (out_dir / "timestamps.txt").read_text().splitlines()]
     mse_rows = [l.split() for l in
