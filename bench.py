@@ -25,6 +25,13 @@ self-diagnosis keys:
   in HBM — the spread vs ``value`` is the tunnel's host->device cost
   (a test-harness artifact; production H2D rides PCIe with
   double-buffering).
+- ``probe_h2d_gbps``: the tunnel's measured host->device bandwidth in the
+  post-compute state (what per-chunk uploads get — it collapses ~15x after
+  the first program executes; see HEALTHY_H2D_GBPS comment). Quantifies the
+  ``value`` vs ``device_resident_fps`` spread as a tunnel property.
+- ``bf16_device_resident_fps``: serving mode (EVREAL_DTYPE=bfloat16, ~1e-2
+  image accuracy tradeoff) — the throughput ceiling when strict f32
+  reference parity isn't required.
 
 Baseline: the reference PyTorch pipeline (CPU voxelize + torch forward)
 measured on this machine's host CPU = 3.17 frames/s (see BASELINE.md; the
@@ -46,7 +53,18 @@ CHUNK_T = 32
 # measured (2026-08-17), and the reverse (uniform clock throttle hitting
 # both) in round 1 — so both probes are needed to classify chip health.
 HEALTHY_PROBE_TFLOPS = 135.0
-HEALTHY_HBM_GBPS = 700.0  # v5e nominal 819; round-1 healthy measurement ~820
+# measured healthy value OF THIS PROBE (64-iteration loop, ~26 ms tunnel
+# round-trip included): 506 GB/s on 2026-08-17; v5e nominal is 819. An
+# 8-iteration version read 195 GB/s in the same state — RTT-dominated —
+# so short probes under-report bandwidth, not the chip.
+HEALTHY_HBM_GBPS = 480.0
+# tunnel host->device, measured AFTER a compute dispatch — the state every
+# per-chunk upload in the eval loop sees. Measured 2026-08-17: ~0.5-0.7 GB/s
+# before the first compute of the process, collapsing to ~0.03-0.05 GB/s
+# permanently once ANY program (even a 128x128 matmul) has executed; idle
+# does not recover it. The headline `value` is h2d-bound in that state
+# (184 MB/chunk), which is why `device_resident_fps` is reported alongside.
+HEALTHY_H2D_GBPS = 0.045
 
 def chip_probe(repeats=3):
     """TFLOP/s of a fixed chained bf16 matmul (16 x 8192^3 = 17.6 TFLOP per
@@ -80,12 +98,14 @@ def chip_probe(repeats=3):
 
 def hbm_probe(repeats=3):
     """GB/s of a fixed chained elementwise pass over 512 MB (fori_loop so
-    XLA cannot fuse the iterations into one kernel; 8 x read+write)."""
+    XLA cannot fuse the iterations into one kernel; 64 x read+write =
+    ~256 GB so the ~26 ms per-call tunnel round-trip is amortized — an
+    8-iteration probe mis-read a healthy chip as 25%-of-peak)."""
     import jax
     import jax.numpy as jnp
     from jax import lax
 
-    n, iters = 128 * 1024 * 1024, 8
+    n, iters = 128 * 1024 * 1024, 64
     gbytes = 2.0 * iters * n * 4 / 1e9
 
     @jax.jit
@@ -105,7 +125,28 @@ def hbm_probe(repeats=3):
     return gbytes / best
 
 
+def h2d_probe(repeats=3):
+    """GB/s of a fixed 32 MB host->device put in the post-compute tunnel
+    state (a tiny jit call runs first so the probe measures what the eval
+    loop's per-chunk uploads actually get, not the fast pre-compute path)."""
+    import jax
+    import jax.numpy as jnp
+
+    float(jax.jit(lambda v: (v @ v).sum())(jnp.ones((128, 128))))
+    buf = np.ones(32 * 1024 * 1024, np.int8)
+    x = jax.device_put(buf)
+    jax.block_until_ready(x)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        x = jax.device_put(buf)
+        jax.block_until_ready(x)
+        best = min(best, time.perf_counter() - t0)
+    return 32 / 1024 / best
+
+
 def main():
+    import os
     import sys
 
     import jax
@@ -121,12 +162,15 @@ def main():
 
     probe_tflops = chip_probe()
     probe_hbm = hbm_probe()
+    probe_h2d = h2d_probe()
     throttled = (probe_tflops < 0.5 * HEALTHY_PROBE_TFLOPS
                  or probe_hbm < 0.5 * HEALTHY_HBM_GBPS)
     probes = {"probe_tflops": round(probe_tflops, 1),
               "healthy_probe_tflops": HEALTHY_PROBE_TFLOPS,
               "probe_hbm_gbps": round(probe_hbm, 1),
               "healthy_hbm_gbps": HEALTHY_HBM_GBPS,
+              "probe_h2d_gbps": round(probe_h2d, 3),
+              "healthy_h2d_gbps": HEALTHY_H2D_GBPS,
               "throttled": throttled}
     if "--probe-only" in sys.argv:
         print(json.dumps(probes))
@@ -198,11 +242,39 @@ def main():
         "device_resident_fps": round(1.0 / best_dev, 2),
         **probes,
     }
+
+    # bf16 serving mode (EVREAL_DTYPE=bfloat16, ~1e-2 image accuracy
+    # tradeoff — README): the throughput ceiling when strict f32 parity
+    # isn't required. Reported as a separate key; the headline stays the
+    # parity configuration the reference scores are defined in.
+    try:
+        os.environ["EVREAL_DTYPE"] = "bfloat16"
+        r16 = BatchedRunner(model, params, event_norm=True,
+                            post_norm="robust", height=h, width=w,
+                            num_bins=5, n=BATCH_N, chunk_t=CHUNK_T)
+        s16 = r16.init_state()
+        s16, imgs16, _ = r16.run(s16, dev_bufs)
+        float(imgs16.sum())
+        best16 = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                s16, imgs16, _ = r16.run(s16, dev_bufs)
+            float(imgs16.sum())
+            best16 = min(best16, (time.perf_counter() - t0)
+                         / (iters * CHUNK_T * BATCH_N))
+        out["bf16_device_resident_fps"] = round(1.0 / best16, 2)
+    except Exception:  # noqa: BLE001 — optional diagnostic, never fatal
+        pass
+    finally:
+        os.environ.pop("EVREAL_DTYPE", None)
     flops_chunk, _ = runner.cost_analysis(state, buffers)
     if flops_chunk:
         from evreal_tpu.utils.mfu import mfu
 
-        achieved, frac = mfu(flops_chunk, best * CHUNK_T * BATCH_N)
+        # device-resident time: MFU is a property of the compiled program on
+        # the chip, not of the tunnel's host->device path
+        achieved, frac = mfu(flops_chunk, best_dev * CHUNK_T * BATCH_N)
         out["model_tflops_per_s"] = round(achieved, 2)
         if frac is not None:
             out["mfu_vs_bf16_peak"] = round(frac, 4)
