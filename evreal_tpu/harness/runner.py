@@ -25,6 +25,7 @@ import numpy as np
 from evreal_tpu.convert import load_method_checkpoint, load_params, nest, save_params
 from evreal_tpu.data import Sequence, pack_windows, bucket_capacity, plan_capacity
 from evreal_tpu.harness import histeq as histeq_mod
+from evreal_tpu.harness import staging
 from evreal_tpu.harness.config import (
     get_dataset_configs,
     get_eval_configs,
@@ -408,6 +409,7 @@ class MethodRunner:
         self._metric_fns = {}
 
     def init_state(self):
+        staging.note_compute()  # dispatches a device program
         ph, pw = self.crop.padded_shape
         return self.model.init_state(1, ph, pw, dtype=self.dtype)
 
@@ -458,6 +460,7 @@ class MethodRunner:
     def run(self, state, buffers):
         # one jitted fn; jax.jit already caches compilations per
         # (capacity-bucket, dtype) signature
+        staging.note_compute()
         if self._fn is None:
             self._fn = self._build()
         return self._fn(self._params_cast, state, buffers["xs"],
@@ -596,7 +599,6 @@ def eval_method_on_sequence(dataset_name, eval_config, method_name, bundle,
     else:
         runner = bundle.runner_for(seq.sensor_resolution, method_config,
                                    seq.num_bins)
-    state = runner.init_state()
     chunk_t = runner.chunk_t
     capacity = plan_capacity(metas_all[i]["event_count"] for i in proc)
     post_norm = method_config.get("post_process_norm", "none")
@@ -634,6 +636,57 @@ def eval_method_on_sequence(dataset_name, eval_config, method_name, bundle,
 
     live, probe_metrics, fetch_scores, dropped = make_metric_containment(
         runner, "sequence")
+
+    def pack_chunk(ci, c0):
+        chunk = proc[c0:c0 + chunk_t]
+        valid_t = len(chunk)
+        chunk_max = max(metas_all[i]["event_count"] for i in chunk)
+        if chunk_max <= capacity:
+            cap_c, zeroed = capacity, False
+            views = {key: arr[:valid_t]
+                     for key, arr in buf_pool[ci % n_pools].items()}
+        else:
+            # outlier chunk (rare by plan_capacity construction): escalate
+            # to its own bucket with one-off buffers instead of inflating
+            # every pool for the whole sequence
+            cap_c, zeroed = bucket_capacity(chunk_max), True
+            views = {"xs": np.zeros((valid_t, cap_c), xy_dtype),
+                     "ys": np.zeros((valid_t, cap_c), xy_dtype),
+                     "ts": np.zeros((valid_t, cap_c), np.float32),
+                     "ps": np.zeros((valid_t, cap_c), np.int8),
+                     "count": np.zeros((valid_t,), np.int32)}
+        buffers, metas = pack_windows(seq, chunk, capacity=cap_c,
+                                      out=views, out_zeroed=zeroed,
+                                      metas=[metas_all[i] for i in chunk])
+        if valid_t < chunk_t:  # pad last chunk to the compiled T
+            for key in ("xs", "ys", "ts", "ps"):
+                buffers[key] = np.pad(
+                    buffers[key], ((0, chunk_t - valid_t), (0, 0)))
+            buffers["count"] = np.pad(buffers["count"],
+                                      (0, chunk_t - valid_t))
+        return chunk, metas, buffers
+
+    # upload-ahead staging: device_put every chunk (events + padded metric
+    # refs) while the process is still in its fast pre-compute H2D state,
+    # so the chunk loop below dispatches from HBM (harness/staging.py;
+    # budget-bounded — on exhaustion the remaining chunks stream as before)
+    staged = {}
+    if proc and staging.active():
+        staging.preload_metric_params(specs)
+        want_refs = (seq.has_images and not color and hist_eq == "none"
+                     and bool(specs))
+        for ci, c0 in enumerate(range(0, len(proc), chunk_t)):
+            chunk, metas, buffers = pack_chunk(ci, c0)
+            tree = {"bufs": buffers}
+            if want_refs:
+                tree["refs"] = pad_refs_t(np.stack(
+                    [seq.frame(m["frame_index"]) for m in metas]))
+            dev = staging.stage(tree)
+            if dev is None:
+                break  # budget exhausted; the rest streams per chunk
+            staged[ci] = dev
+
+    state = runner.init_state()
 
     def drain(entry):
         chunk, metas, tensors, refs, entry_use = entry
@@ -704,32 +757,16 @@ def eval_method_on_sequence(dataset_name, eval_config, method_name, bundle,
     timer = DeviceTimer(method_name, frames=max(len(proc), 1))
     timer.__enter__()
     for ci, c0 in enumerate(range(0, len(proc), chunk_t)):
-        chunk = proc[c0:c0 + chunk_t]
-        valid_t = len(chunk)
-        chunk_max = max(metas_all[i]["event_count"] for i in chunk)
-        if chunk_max <= capacity:
-            cap_c, zeroed = capacity, False
-            views = {key: arr[:valid_t]
-                     for key, arr in buf_pool[ci % n_pools].items()}
+        staged_refs = None
+        if ci in staged:
+            chunk = proc[c0:c0 + chunk_t]
+            valid_t = len(chunk)
+            metas = [metas_all[i] for i in chunk]
+            dev = staged.pop(ci)
+            buffers, staged_refs = dev["bufs"], dev.get("refs")
         else:
-            # outlier chunk (rare by plan_capacity construction): escalate
-            # to its own bucket with one-off buffers instead of inflating
-            # every pool for the whole sequence
-            cap_c, zeroed = bucket_capacity(chunk_max), True
-            views = {"xs": np.zeros((valid_t, cap_c), xy_dtype),
-                     "ys": np.zeros((valid_t, cap_c), xy_dtype),
-                     "ts": np.zeros((valid_t, cap_c), np.float32),
-                     "ps": np.zeros((valid_t, cap_c), np.int8),
-                     "count": np.zeros((valid_t,), np.int32)}
-        buffers, metas = pack_windows(seq, chunk, capacity=cap_c,
-                                      out=views, out_zeroed=zeroed,
-                                      metas=[metas_all[i] for i in chunk])
-        if valid_t < chunk_t:  # pad last chunk to the compiled T
-            for key in ("xs", "ys", "ts", "ps"):
-                buffers[key] = np.pad(
-                    buffers[key], ((0, chunk_t - valid_t), (0, 0)))
-            buffers["count"] = np.pad(buffers["count"],
-                                      (0, chunk_t - valid_t))
+            chunk, metas, buffers = pack_chunk(ci, c0)
+            valid_t = len(chunk)
 
         refs = None
         if seq.has_images and not color:
@@ -745,7 +782,8 @@ def eval_method_on_sequence(dataset_name, eval_config, method_name, bundle,
             use = live(specs if refs is not None
                        else [s for s in specs if s.no_ref])
             if use and hist_eq == "none":
-                refs_dev = (jnp.asarray(pad_refs_t(refs))
+                refs_dev = (staged_refs if staged_refs is not None
+                            else jnp.asarray(pad_refs_t(refs))
                             if refs is not None
                             else jnp.zeros_like(clipped))
                 try:

@@ -48,6 +48,9 @@ class ColorRunner:
         self._fn = None
 
     def init_state(self):
+        from evreal_tpu.harness import staging
+
+        staging.note_compute()  # dispatches a device program
         ph2, pw2 = self.crop_half.padded_shape
         ph, pw = self.crop_full.padded_shape
         return {"color": self.model.init_state(4, ph2, pw2),
@@ -89,6 +92,9 @@ class ColorRunner:
 
     def run(self, state, buffers):
         # one jitted fn; jax.jit caches per input-shape signature
+        from evreal_tpu.harness import staging
+
+        staging.note_compute()
         if self._fn is None:
             self._fn = self._build()
         return self._fn(self.params, state, buffers["xs"],
