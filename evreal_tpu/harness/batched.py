@@ -156,6 +156,12 @@ class BatchedRunner:
                         buffers["ys"], buffers["ts"],
                         buffers["ps"], buffers["count"])
 
+    def quantize_u8(self, images):
+        """Device-side PNG quantization (see MethodRunner.quantize_u8)."""
+        from evreal_tpu.harness.runner import _quantize_u8
+
+        return _quantize_u8(images)
+
     def metric_scores(self, specs, clipped, refs):
         """(N, T, H, W) images [vs refs] -> {name: (N, T)} device arrays."""
         specs = self._validate_specs(specs, tuple(clipped.shape[2:]))
@@ -388,7 +394,8 @@ def eval_method_on_sequence_group(dataset_name, eval_config, method_name,
     def drain(entry):
         chunk_info, refs, images_dev, clipped_dev, scores_dev, entry_use, \
             refs_dev = entry
-        images = np.asarray(images_dev)
+        # u8 frames (quantized on device) or None when save_images is off
+        images = np.asarray(images_dev) if images_dev is not None else None
         scores = (fetch_scores(scores_dev, entry_use, clipped_dev, refs_dev)
                   if scores_dev else {})
         proc_imgs = None
@@ -421,7 +428,7 @@ def eval_method_on_sequence_group(dataset_name, eval_config, method_name,
             seq, tracker = seqs[j], trackers[j]
             for r, i in enumerate(idxs):
                 meta = metas_all[j][i]
-                img = images[j, r]
+                img = images[j, r] if images is not None else None
                 ref = refs[j, r] if (refs is not None and seq.has_images) \
                     else None
                 # trackers of ref-less sequences only record no-ref metric
@@ -452,6 +459,10 @@ def eval_method_on_sequence_group(dataset_name, eval_config, method_name,
         else:
             bufs, chunk_info, refs = pack_chunk(k)
         state, images, clipped = runner.run(state, bufs)
+        # device-quantized u8 frames: 4x fewer D2H bytes, and no image
+        # fetch at all when nothing will be saved
+        images = (runner.quantize_u8(images)
+                  if any(t.save_images for t in trackers) else None)
         scores_dev = None
         r = None
         use = live(specs if any_images

@@ -31,7 +31,12 @@ def append_result(path, description, result, is_int=False):
 
 def save_inferred_image(folder, image, idx):
     png_path = os.path.join(folder, "frame_{:010d}.png".format(idx))
-    ok = cv2.imwrite(png_path, np.round(image * 255).astype(np.uint8))
+    # uint8 input is already round(clip(img)*255) — the eval loops quantize
+    # on device so only a quarter of the bytes cross the device->host link
+    # (runner.quantize_u8, bit-identical to this host path by test)
+    arr = (image if image.dtype == np.uint8
+           else np.round(image * 255).astype(np.uint8))
+    ok = cv2.imwrite(png_path, arr)
     if not ok:  # cv2 fails silently (returns False) on unwritable paths
         raise OSError(f"failed to write {png_path}")
 

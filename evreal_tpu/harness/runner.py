@@ -383,6 +383,11 @@ def validate_metric_specs(cache, specs, hw):
 # compiled per-method pipeline
 # ---------------------------------------------------------------------------
 
+@jax.jit
+def _quantize_u8(images):
+    return jnp.round(jnp.clip(images, 0.0, 1.0) * 255).astype(jnp.uint8)
+
+
 class MethodRunner:
     """Chunked, compiled eval pipeline for one (model, sensor resolution)."""
 
@@ -466,6 +471,13 @@ class MethodRunner:
         return self._fn(self._params_cast, state, buffers["xs"],
                         buffers["ys"], buffers["ts"],
                         buffers["ps"], buffers["count"])
+
+    def quantize_u8(self, images):
+        """PNG quantization on device: ``round(clip(img,0,1)*255)`` uint8,
+        bit-identical to the host path in outputs.save_inferred_image
+        (round-half-even both sides, IEEE f32 elementwise) — fetching u8
+        costs a quarter of the f32 bytes on the ~45 MB/s tunnel D2H."""
+        return _quantize_u8(images)
 
     def metric_scores(self, specs, clipped, refs):
         """Batched metric evaluation: (T,H,W) images [vs refs] ->
@@ -711,7 +723,8 @@ def eval_method_on_sequence(dataset_name, eval_config, method_name, bundle,
             return
         images_dev, clipped_dev, scores_dev, refs_dev = tensors
         valid_t = len(chunk)
-        images = np.asarray(images_dev)  # full chunk; tail rows unused
+        # u8 frames (quantized on device) or None when save_images is off
+        images = np.asarray(images_dev) if images_dev is not None else None
         if hist_eq != "none":
             # the clipped tensor is only needed on host for hist-eq; the
             # tracker re-clips `images` itself, so the std path skips this
@@ -743,7 +756,7 @@ def eval_method_on_sequence(dataset_name, eval_config, method_name, bundle,
         for j, (i, meta) in enumerate(zip(chunk, metas)):
             frame_scores = {k: v[j] for k, v in scores.items()}
             tracker.update(
-                i, images[j],
+                i, images[j] if images is not None else None,
                 refs[j] if refs is not None else None,
                 meta["voxel_timestamp"],
                 meta["frame_timestamp"] if seq.has_images else None,
@@ -777,6 +790,10 @@ def eval_method_on_sequence(dataset_name, eval_config, method_name, bundle,
             entry = (chunk, metas, (cimgs, gimgs), None, None)
         else:
             state, images, clipped = runner.run(state, buffers)
+            # device-quantized u8 frames: 4x fewer D2H bytes, and no image
+            # fetch at all when nothing will be saved
+            images = (runner.quantize_u8(images) if tracker.save_images
+                      else None)
             scores_dev = None
             refs_dev = None
             use = live(specs if refs is not None

@@ -166,14 +166,19 @@ class EvalMetricsTracker:
     def update(self, idx, img, ref, img_ts, ref_ts=None, scores=None,
                processed_img=None):
         """Record one frame. ``scores``: device-computed metric values for
-        this frame (already on clipped+processed images)."""
+        this frame (already on clipped+processed images). ``img`` may be
+        float (clipped here), uint8 (pre-quantized on device — saved
+        as-is), or None (the loop skipped the device->host image fetch
+        because nothing would be saved)."""
         if ref_ts is None:
             ref_ts = img_ts
         self._append(self._ts_path(), "{} {:.15f}\n".format(idx, img_ts))
 
-        img = np.clip(img, 0.0, 1.0)
-        if self.save_images:
-            self._writer().submit(self.output_dir, img, idx)
+        if img is not None:
+            if img.dtype != np.uint8:
+                img = np.clip(img, 0.0, 1.0)
+            if self.save_images:
+                self._writer().submit(self.output_dir, img, idx)
         if self.save_processed_images and processed_img is not None:
             self._writer().submit(self.processed_output_dir, processed_img,
                                   idx)
