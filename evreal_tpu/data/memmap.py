@@ -241,3 +241,15 @@ class Sequence:
         if arr.ndim == 3:
             arr = arr[:, :, 0]
         return arr.astype(np.float32) / 255.0
+
+    def frame_u8(self, index):
+        """GT frame as raw uint8 (channel 0), or None when the stored dtype
+        is not uint8. Lets the eval loop upload 1 byte/pixel and defer
+        frame()'s /255 to the device (bit-identical: u8->f32 is exact and
+        the f32 divide rounds once either way)."""
+        if self.images.dtype != np.uint8:
+            return None
+        arr = self.images[index]
+        if arr.ndim == 3:
+            arr = arr[:, :, 0]
+        return arr

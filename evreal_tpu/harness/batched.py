@@ -309,8 +309,23 @@ def eval_method_on_sequence_group(dataset_name, eval_config, method_name,
          "ps": np.zeros((n_pad, chunk_t, capacity), np.int8),
          "count": np.zeros((n_pad, chunk_t), np.int32)}
         for _ in range(n_pools)]
+    # GT frames cross the tunnel as raw uint8 when every image-bearing
+    # memmap stores u8 (runner.derefs converts on device, bit-identical
+    # to Sequence.frame); hist-eq configs keep float32 pools because the
+    # refs are equalized on host before scoring.
+    def _u8_refs(j):
+        s = seqs[j]
+        f = getattr(s, "frame_u8", None)
+        if f is None:
+            return False
+        i = next(iter(procs[j]), None)
+        return i is None or f(metas_all[j][i]["frame_index"]) is not None
+
+    ref_dtype = (np.uint8 if hist_eq == "none" and all(
+        _u8_refs(j) for j in range(n) if seqs[j].has_images)
+        else np.float32)
     refs_pool = [
-        (np.zeros((n_pad, chunk_t) + tuple(resolution), np.float32)
+        (np.zeros((n_pad, chunk_t) + tuple(resolution), ref_dtype)
          if any_images and known else None)
         for _ in range(n_pools)]
 
@@ -352,17 +367,20 @@ def eval_method_on_sequence_group(dataset_name, eval_config, method_name,
 
     def load_refs(chunk_info, out):
         """Fill (and return) the pooled GT-frame array for one chunk from
-        the memmaps — separated from pack_chunk so the prestaged path can
-        rebuild the host-side copy at dispatch time without repacking
-        events (rows past len(idxs) may hold stale frames; they are never
-        read: drain and the score tails both stop at len(idxs))."""
+        the memmaps — separated from pack_chunk so the hist-eq prestaged
+        path can rebuild the host-side copy at dispatch time without
+        repacking events (rows past len(idxs) may hold stale frames; they
+        are never read: drain and the score tails both stop at
+        len(idxs))."""
         if out is None:
             return None
+        u8 = out.dtype == np.uint8
         for j, seq in enumerate(seqs):
             if not seq.has_images:
                 continue
             for r, i in enumerate(chunk_info[j]):
-                out[j, r] = seq.frame(metas_all[j][i]["frame_index"])
+                fi = metas_all[j][i]["frame_index"]
+                out[j, r] = seq.frame_u8(fi) if u8 else seq.frame(fi)
         return out
 
     from evreal_tpu.harness import staging
@@ -455,7 +473,10 @@ def eval_method_on_sequence_group(dataset_name, eval_config, method_name,
             bufs, staged_refs = dev["bufs"], dev.get("refs")
             chunk_info = [proc[k * chunk_t:(k + 1) * chunk_t]
                           for proc in procs]
-            refs = load_refs(chunk_info, refs_pool[k % n_pools])
+            # no host-side ref copy needed in the std path: the tracker
+            # never reads ref pixel data, and scoring uses staged_refs
+            refs = (None if hist_eq == "none"
+                    else load_refs(chunk_info, refs_pool[k % n_pools]))
         else:
             bufs, chunk_info, refs = pack_chunk(k)
         state, images, clipped = runner.run(state, bufs)
@@ -471,6 +492,11 @@ def eval_method_on_sequence_group(dataset_name, eval_config, method_name,
             r = (staged_refs if staged_refs is not None
                  else jnp.asarray(refs) if refs is not None
                  else jnp.zeros_like(clipped))
+            if r.dtype == jnp.uint8:
+                # standalone u8->f32 program (runner.derefs): the metric
+                # program then sees the identical f32 trace either way
+                from evreal_tpu.harness.runner import derefs
+                r = derefs(r)
             try:
                 scores_dev = runner.metric_scores(use, clipped, r)
             except Exception:  # noqa: BLE001 — on a synchronous backend

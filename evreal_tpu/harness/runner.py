@@ -388,6 +388,25 @@ def _quantize_u8(images):
     return jnp.round(jnp.clip(images, 0.0, 1.0) * 255).astype(jnp.uint8)
 
 
+# GT frames upload as raw uint8 (4x fewer tunnel bytes than the host-side
+# astype(f32)/255 of Sequence.frame) and convert on device. A traced f32
+# divide is NOT bit-identical to numpy's (XLA strength-reduces /255 to a
+# reciprocal multiply: 1-ulp difference on 126 of 256 values, measured on
+# both TPU and CPU backends), so the conversion is a 256-entry gather of
+# host-computed values — exact by construction.
+_U8_REF_LUT = np.arange(256, dtype=np.float32) / 255.0
+
+
+@jax.jit
+def derefs(refs):
+    """uint8 reference frames -> float32 [0,1] on device, bit-identical to
+    Sequence.frame's host conversion. Runs as its OWN program, before the
+    metric call: converting inside the metric jit changes that program's
+    fusion and was measured to perturb TPU score means by ~6e-10 — this
+    way the metric program is the identical trace either way."""
+    return jnp.asarray(_U8_REF_LUT)[refs.astype(jnp.int32)]
+
+
 class MethodRunner:
     """Chunked, compiled eval pipeline for one (model, sensor resolution)."""
 
@@ -646,6 +665,18 @@ def eval_method_on_sequence(dataset_name, eval_config, method_name, bundle,
         out[: r.shape[0]] = r
         return out
 
+    # GT frames cross the tunnel as raw uint8 when the memmap stores u8
+    # (runner.derefs converts on device, bit-identical to frame()); the
+    # host-side float32 stack is only materialized for hist-eq configs,
+    # which equalize the refs on host before scoring.
+    frame_u8 = getattr(seq, "frame_u8", lambda i: None)
+
+    def stack_refs(metas):
+        u8 = [frame_u8(m["frame_index"]) for m in metas]
+        if all(r is not None for r in u8):
+            return np.stack(u8)
+        return np.stack([seq.frame(m["frame_index"]) for m in metas])
+
     live, probe_metrics, fetch_scores, dropped = make_metric_containment(
         runner, "sequence")
 
@@ -691,8 +722,7 @@ def eval_method_on_sequence(dataset_name, eval_config, method_name, bundle,
             chunk, metas, buffers = pack_chunk(ci, c0)
             tree = {"bufs": buffers}
             if want_refs:
-                tree["refs"] = pad_refs_t(np.stack(
-                    [seq.frame(m["frame_index"]) for m in metas]))
+                tree["refs"] = pad_refs_t(stack_refs(metas))
             dev = staging.stage(tree)
             if dev is None:
                 break  # budget exhausted; the rest streams per chunk
@@ -781,8 +811,12 @@ def eval_method_on_sequence(dataset_name, eval_config, method_name, bundle,
             chunk, metas, buffers = pack_chunk(ci, c0)
             valid_t = len(chunk)
 
+        # host-side float32 refs only exist for hist-eq configs (equalized
+        # on host before scoring); the std path uploads uint8 via
+        # stack_refs and the tracker never reads ref pixel data
+        refs_any = seq.has_images and not color
         refs = None
-        if seq.has_images and not color:
+        if refs_any and hist_eq != "none":
             refs = np.stack([seq.frame(m["frame_index"]) for m in metas])
 
         if color:
@@ -796,13 +830,17 @@ def eval_method_on_sequence(dataset_name, eval_config, method_name, bundle,
                       else None)
             scores_dev = None
             refs_dev = None
-            use = live(specs if refs is not None
+            use = live(specs if refs_any
                        else [s for s in specs if s.no_ref])
             if use and hist_eq == "none":
-                refs_dev = (staged_refs if staged_refs is not None
-                            else jnp.asarray(pad_refs_t(refs))
-                            if refs is not None
-                            else jnp.zeros_like(clipped))
+                if staged_refs is not None:
+                    refs_dev = staged_refs
+                elif refs_any:
+                    refs_dev = jnp.asarray(pad_refs_t(stack_refs(metas)))
+                else:
+                    refs_dev = jnp.zeros_like(clipped)
+                if refs_dev.dtype == jnp.uint8:
+                    refs_dev = derefs(refs_dev)
                 try:
                     scores_dev = runner.metric_scores(use, clipped,
                                                       refs_dev)
