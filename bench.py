@@ -97,15 +97,15 @@ def chip_probe(repeats=3):
 
 
 def hbm_probe(repeats=3):
-    """GB/s of a fixed chained elementwise pass over 512 MB (fori_loop so
-    XLA cannot fuse the iterations into one kernel; 64 x read+write =
-    ~256 GB so the ~26 ms per-call tunnel round-trip is amortized — an
+    """GB/s of a fixed chained elementwise pass over 512 MiB (fori_loop so
+    XLA cannot fuse the iterations into one kernel; 64 iterations move
+    ~69 GB so the ~26 ms per-call tunnel round-trip is amortized — an
     8-iteration probe mis-read a healthy chip as 25%-of-peak)."""
     import jax
     import jax.numpy as jnp
     from jax import lax
 
-    n, iters = 128 * 1024 * 1024, 64
+    n, iters = 128 * 1024 * 1024, 64  # 64 x read+write of 512 MiB ~ 69 GB
     gbytes = 2.0 * iters * n * 4 / 1e9
 
     @jax.jit
@@ -126,23 +126,32 @@ def hbm_probe(repeats=3):
 
 
 def h2d_probe(repeats=3):
-    """GB/s of a fixed 32 MB host->device put in the post-compute tunnel
+    """GB/s of a fixed 32 MiB host->device put in the post-compute tunnel
     state (a tiny jit call runs first so the probe measures what the eval
-    loop's per-chunk uploads actually get, not the fast pre-compute path)."""
+    loop's per-chunk uploads actually get, not the fast pre-compute path).
+    The fence is a scalar value fetch that depends on the uploaded bytes
+    (block_until_ready alone has been observed returning early on this
+    backend); the fetch's own round-trip is measured on a resident array
+    and subtracted."""
     import jax
     import jax.numpy as jnp
 
     float(jax.jit(lambda v: (v @ v).sum())(jnp.ones((128, 128))))
     buf = np.ones(32 * 1024 * 1024, np.int8)
+    fetch = jax.jit(lambda v: v[-1].astype(jnp.int32))
     x = jax.device_put(buf)
-    jax.block_until_ready(x)
+    int(fetch(x))  # compile + warm; x is now resident
+    rtt = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        int(fetch(x))
+        rtt = min(rtt, time.perf_counter() - t0)
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        x = jax.device_put(buf)
-        jax.block_until_ready(x)
+        int(fetch(jax.device_put(buf)))
         best = min(best, time.perf_counter() - t0)
-    return 32 / 1024 / best
+    return buf.nbytes / 1e9 / max(best - rtt, 1e-9)
 
 
 def main():

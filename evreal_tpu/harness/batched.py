@@ -76,12 +76,10 @@ class BatchedRunner:
                else voxelize_scatter)
         self.voxel_stage = make_voxel_stage(vox, num_bins, (height, width),
                                             event_norm)
-        from evreal_tpu.harness.runner import compute_dtype
+        from evreal_tpu.harness.runner import cast_params, compute_dtype
 
         self.dtype = compute_dtype()
-        self._params_cast = (params if self.dtype == jnp.float32 else
-                             jax.tree.map(lambda a: jnp.asarray(a, self.dtype),
-                                          params))
+        self._params_cast = cast_params(params, self.dtype)
         self._fn = None
         self._metric_fns = {}
 
@@ -329,7 +327,7 @@ def eval_method_on_sequence_group(dataset_name, eval_config, method_name,
          if any_images and known else None)
         for _ in range(n_pools)]
 
-    def pack_chunk(k):
+    def pack_chunk(k, with_refs=True):
         chunk_idxs = [proc[k * chunk_t:(k + 1) * chunk_t] for proc in procs]
         chunk_max = max((metas_all[j][i]["event_count"]
                          for j in range(n) for i in chunk_idxs[j]),
@@ -362,7 +360,8 @@ def eval_method_on_sequence_group(dataset_name, eval_config, method_name,
             pack_windows(seq, idxs, capacity=cap_c, out=views,
                          metas=[metas_all[j][i] for i in idxs],
                          out_zeroed=zeroed)
-        refs = load_refs(chunk_info, refs_pool[k % n_pools])
+        refs = (load_refs(chunk_info, refs_pool[k % n_pools]) if with_refs
+                else None)
         return bufs, chunk_info, refs
 
     def load_refs(chunk_info, out):
@@ -398,7 +397,9 @@ def eval_method_on_sequence_group(dataset_name, eval_config, method_name,
         staging.preload_metric_params(specs)
         want_refs = any_images and bool(known) and hist_eq == "none"
         for k in range(max_chunks):
-            bufs, chunk_info, refs = pack_chunk(k)
+            # with_refs only when they will be staged: hist-eq configs
+            # would otherwise read every GT frame twice (here + dispatch)
+            bufs, chunk_info, refs = pack_chunk(k, with_refs=want_refs)
             tree = {"bufs": dict(bufs)}
             if want_refs and refs is not None:
                 tree["refs"] = refs

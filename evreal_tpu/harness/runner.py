@@ -109,6 +109,22 @@ def compute_dtype():
     return jnp.bfloat16 if name in ("bfloat16", "bf16") else jnp.float32
 
 
+def cast_params(params, dtype):
+    """Cast a param tree for serving dtype. Host-side (numpy + ml_dtypes,
+    same round-to-nearest-even as XLA's convert_element_type) for numpy
+    leaves: a jnp cast in a runner's __init__ would dispatch device
+    programs before the staging loop, collapsing the pre-compute H2D
+    window staging exists to ride (staging.py) — and uploading the halved
+    bf16 bytes is itself cheaper. Device-resident leaves (already past
+    that window) cast with jnp."""
+    if dtype == jnp.float32:
+        return params
+    npdt = np.dtype(dtype)
+    return jax.tree.map(
+        lambda a: (a.astype(npdt) if isinstance(a, np.ndarray)
+                   else jnp.asarray(a, dtype)), params)
+
+
 def matmul_precision_ctx(dtype=jnp.float32):
     """Trace-time matmul precision for the compiled pipelines.
 
@@ -426,9 +442,7 @@ class MethodRunner:
         self.voxel_stage = make_voxel_stage(self._vox, num_bins,
                                             (height, width), event_norm)
         self.dtype = compute_dtype()
-        self._params_cast = (params if self.dtype == jnp.float32 else
-                             jax.tree.map(lambda a: jnp.asarray(a, self.dtype),
-                                          params))
+        self._params_cast = cast_params(params, self.dtype)
         self._fn = None
         self._metric_fns = {}
 

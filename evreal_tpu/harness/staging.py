@@ -61,9 +61,13 @@ def stage(tree):
     tree, or None when staging is inactive or the tree would exceed the
     budget (the caller streams that chunk instead).
 
-    The fence makes the caller's (pooled) host buffers immediately
-    reusable; since staging runs before any compute, the puts ride the
-    fast pre-compute H2D path, so fencing each chunk costs no overlap.
+    Each leaf is snapshotted (np.array) before the put: the caller's
+    pooled host buffers are reused a few chunks later, and on this
+    backend ``block_until_ready`` has been observed returning before the
+    work is done (CLAUDE.md) — while the trustworthy value-fetch fence
+    would itself dispatch a program, collapsing the very pre-compute H2D
+    window staging exists to ride. A private immutable source makes the
+    in-flight transfer safe regardless of when it completes.
     """
     global _staged_bytes
     if not active():
@@ -74,8 +78,11 @@ def stage(tree):
     nbytes = sum(leaf.nbytes for leaf in leaves)
     if _staged_bytes + nbytes > _budget_bytes():
         return None
+    import numpy as np
+
+    tree = jax.tree_util.tree_map(np.array, tree)
     dev = jax.tree_util.tree_map(jax.device_put, tree)
-    jax.block_until_ready(dev)
+    jax.block_until_ready(dev)  # best-effort pacing only (see above)
     _staged_bytes += nbytes
     return dev
 
