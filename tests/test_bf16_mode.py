@@ -38,3 +38,24 @@ def test_bf16_tracks_f32(monkeypatch):
     # bf16 recurrent rollout drifts, but stays visually equivalent
     assert np.abs(f32 - bf16).mean() < 0.02
     assert np.abs(f32 - bf16).max() < 0.2
+
+
+def test_cast_params_stays_on_host():
+    """The serving-dtype cast must not dispatch device programs during
+    runner construction (it runs before the staging loop, which rides the
+    pre-compute H2D window), and must round like XLA (to-nearest-even)."""
+    import jax.numpy as jnp
+
+    from evreal_tpu.harness.runner import cast_params
+
+    tree = {"w": np.float32([1.0, 1.0039062, 3.1415927]),
+            "b": np.zeros((3,), np.float32)}
+    out = cast_params(tree, jnp.bfloat16)
+    assert all(isinstance(leaf, np.ndarray) for leaf in out.values())
+    assert out["w"].dtype == np.dtype(jnp.bfloat16)
+    expected = np.asarray(jnp.asarray(tree["w"], jnp.bfloat16))
+    assert np.array_equal(out["w"].view(np.uint16),
+                          expected.view(np.uint16))
+    # f32 is the identity — same objects, no copies
+    ident = cast_params(tree, jnp.float32)
+    assert ident["w"] is tree["w"]
