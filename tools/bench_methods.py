@@ -161,7 +161,31 @@ ALL = ["E2VID", "E2VID+", "FireNet", "FireNet+", "SPADE-E2VID",
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--methods", nargs="+", default=ALL)
+    ap.add_argument("--isolate", action="store_true",
+                    help="run each method in its own subprocess: a long "
+                    "multi-method process accumulates tunnel/backend state "
+                    "and later methods measure up to 3x slower (SPADE-E2VID "
+                    "96 ms mid-sweep vs 29 ms alone, same chip, 2026-08-17)")
     args = ap.parse_args()
+    if args.isolate and len(args.methods) > 1:
+        import subprocess
+
+        merged = {}
+        for method in args.methods:
+            proc = subprocess.run(
+                [sys.executable, "-u", os.path.abspath(__file__),
+                 "--methods", method],
+                capture_output=True, text=True)
+            out = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+            print("\n".join(ln for ln in out if not ln.startswith("{")),
+                  flush=True)
+            if proc.returncode == 0 and out and out[-1].startswith("{"):
+                merged.update(json.loads(out[-1]))
+            else:
+                print(f"{method}: subprocess failed (rc={proc.returncode})",
+                      flush=True)
+        print(json.dumps(merged))
+        return
     import jax
 
     from evreal_tpu.utils import enable_compile_cache
