@@ -98,19 +98,25 @@ class BatchedRunner:
         dtype = self.dtype
 
         def fn(params, state, xs, ys, ts, ps, count):
+            from evreal_tpu.harness import runner as runner_mod
             from evreal_tpu.harness.runner import matmul_precision_ctx
 
             with matmul_precision_ctx(dtype):
                 # inputs: (N, T, E) / count (N, T)
                 vox = jax.vmap(voxel_stage)(xs, ys, ts, ps, count)
-                vox = crop.pad(vox).astype(dtype)  # (N,T,H,W,B)
+                # cast before pad: identical values (pad zeros are exact in
+                # any dtype) but the padded (N,T,ph,pw,B) buffer — the
+                # largest live intermediate at high lane counts — is held
+                # in the serving dtype, not f32
+                vox = crop.pad(vox.astype(dtype))  # (N,T,H,W,B)
                 vox = jnp.moveaxis(vox, 1, 0)  # (T, N, ph, pw, B)
 
                 def step(st, v):
                     out, st = model.apply(params, st, v)
                     return st, out["image"]
 
-                state, imgs = jax.lax.scan(step, state, vox)
+                state, imgs = jax.lax.scan(step, state, vox,
+                                           unroll=runner_mod.SCAN_UNROLL)
                 imgs = jnp.moveaxis(imgs.astype(jnp.float32), 0, 1)
                 imgs = crop.crop(imgs)[..., 0]  # (N, T, H, W)
                 imgs = jax.vmap(jax.vmap(

@@ -45,6 +45,14 @@ DEFAULT_CHUNK_T = int(os.environ.get("EVREAL_CHUNK_T", "32"))
 # per-dataset containment try (which would degrade every dataset to a
 # printed traceback and an empty score table)
 DEFAULT_BATCH_N = int(os.environ.get("EVREAL_BATCH_N", "0"))
+# Unroll factor for the per-window model scan (lax.scan ``unroll``): eval is
+# op-latency-bound (BASELINE.md roofline), so amortizing loop bookkeeping
+# across iterations is a real lever — A/B'd on a healthy chip (E2VID b16):
+# bf16 727 -> 1002 fps at unroll=4 (+38%; 1031 at 8, marginal), f32 +4%.
+# Cost is program size / compile time, so 4 is the default; lax.scan handles
+# a non-divisible remainder, results are bit-identical
+# (tests/test_scan_unroll.py).
+SCAN_UNROLL = int(os.environ.get("EVREAL_SCAN_UNROLL", "4"))
 PIPELINE_DEPTH = 8  # chunks in flight on device before the host drains one
 
 
@@ -460,7 +468,7 @@ class MethodRunner:
         def fn(params, state, xs, ys, ts, ps, count):
             with matmul_precision_ctx(dtype):
                 vox = voxel_stage(xs, ys, ts, ps, count)
-                vox = crop.pad(vox).astype(dtype)
+                vox = crop.pad(vox.astype(dtype))  # cast first: see batched
 
                 # NOTE: ET-Net exposes encode_recurrent/decode_batched
                 # (only its ConvLSTM stages are recurrent), but scanning
@@ -472,7 +480,8 @@ class MethodRunner:
                     out, st = model.apply(params, st, v[None])
                     return st, out["image"][0]
 
-                state, imgs = jax.lax.scan(step, state, vox)
+                state, imgs = jax.lax.scan(step, state, vox,
+                                           unroll=SCAN_UNROLL)
                 imgs = crop.crop(imgs.astype(jnp.float32))[..., 0]  # (T,H,W)
                 imgs = jax.vmap(lambda im: post_process_normalization(
                     im, post_norm))(imgs)

@@ -14,6 +14,11 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# The shipped scan-unroll default (4) only buys speed on the real chip; on
+# this 1-core host it multiplies scan-body compile time across the whole
+# suite. Pin 1 here — tests/test_scan_unroll.py proves unroll is a pure
+# scheduling knob (bit-identical), so coverage is unchanged.
+os.environ.setdefault("EVREAL_SCAN_UNROLL", "1")
 
 import jax  # noqa: E402
 

@@ -63,6 +63,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", nargs="+", type=int,
                     default=[8, 16, 32, 64])
+    ap.add_argument("--dtypes", nargs="+",
+                    default=["float32", "bfloat16"],
+                    choices=["float32", "bfloat16"],
+                    help="dtypes to sweep (b256 f32 exceeds HBM; "
+                         "bf16-only probes the serving ceiling)")
     args = ap.parse_args()
 
     import jax
@@ -81,7 +86,7 @@ def main():
         dev_bufs = {k: jax.device_put(v) for k, v in bufs.items()}
         jax.block_until_ready(dev_bufs)
         row = {"batch": n}
-        for dtype in ("float32", "bfloat16"):
+        for dtype in args.dtypes:
             os.environ["EVREAL_DTYPE"] = dtype
             try:
                 runner = BatchedRunner(model, params, event_norm=True,
