@@ -18,7 +18,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from evreal_tpu.data.packing import bucket_capacity, pack_windows, plan_capacity
+from evreal_tpu.data.packing import (
+    outlier_buffers,
+    pack_windows,
+    plan_capacity,
+)
 from evreal_tpu.harness.timers import DeviceTimer
 from evreal_tpu.metrics import registry as metric_registry
 from evreal_tpu.ops.pad import CropParams
@@ -74,11 +78,15 @@ class BatchedRunner:
         impl = default_voxelize_impl()
         vox = (voxelize_matmul if impl in ("matmul", "pallas")
                else voxelize_scatter)
-        self.voxel_stage = make_voxel_stage(vox, num_bins, (height, width),
-                                            event_norm)
         from evreal_tpu.harness.runner import cast_params, compute_dtype
 
         self.dtype = compute_dtype()
+        # out_dtype inside the stage: the vmapped (N,T,H,W,B) voxel buffer
+        # is materialized in the serving dtype (the largest allocation in
+        # the b256 bf16 OOM dump was this buffer in f32)
+        self.voxel_stage = make_voxel_stage(vox, num_bins, (height, width),
+                                            event_norm,
+                                            out_dtype=self.dtype)
         self._params_cast = cast_params(params, self.dtype)
         self._fn = None
         self._metric_fns = {}
@@ -104,11 +112,7 @@ class BatchedRunner:
             with matmul_precision_ctx(dtype):
                 # inputs: (N, T, E) / count (N, T)
                 vox = jax.vmap(voxel_stage)(xs, ys, ts, ps, count)
-                # cast before pad: identical values (pad zeros are exact in
-                # any dtype) but the padded (N,T,ph,pw,B) buffer — the
-                # largest live intermediate at high lane counts — is held
-                # in the serving dtype, not f32
-                vox = crop.pad(vox.astype(dtype))  # (N,T,H,W,B)
+                vox = crop.pad(vox)  # stage emits `dtype`; pad 0s are exact
                 vox = jnp.moveaxis(vox, 1, 0)  # (T, N, ph, pw, B)
 
                 def step(st, v):
@@ -348,12 +352,9 @@ def eval_method_on_sequence_group(dataset_name, eval_config, method_name,
             # outlier chunk (rare by plan_capacity construction): escalate
             # to its own bucket with one-off buffers instead of inflating
             # every pool for the whole run
-            cap_c, zeroed = bucket_capacity(chunk_max), True
-            bufs = {"xs": np.zeros((n_pad, chunk_t, cap_c), xy_dtype),
-                    "ys": np.zeros((n_pad, chunk_t, cap_c), xy_dtype),
-                    "ts": np.zeros((n_pad, chunk_t, cap_c), np.float32),
-                    "ps": np.zeros((n_pad, chunk_t, cap_c), np.int8),
-                    "count": np.zeros((n_pad, chunk_t), np.int32)}
+            cap_c, bufs = outlier_buffers((n_pad, chunk_t), chunk_max,
+                                          xy_dtype)
+            zeroed = True
         chunk_info = []
         for j, (seq, proc) in enumerate(zip(seqs, procs)):
             idxs = chunk_idxs[j]

@@ -23,7 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from evreal_tpu.convert import load_method_checkpoint, load_params, nest, save_params
-from evreal_tpu.data import Sequence, pack_windows, bucket_capacity, plan_capacity
+from evreal_tpu.data import Sequence, pack_windows, plan_capacity
+from evreal_tpu.data.packing import outlier_buffers
 from evreal_tpu.harness import histeq as histeq_mod
 from evreal_tpu.harness import staging
 from evreal_tpu.harness.config import (
@@ -47,16 +48,21 @@ DEFAULT_CHUNK_T = int(os.environ.get("EVREAL_CHUNK_T", "32"))
 DEFAULT_BATCH_N = int(os.environ.get("EVREAL_BATCH_N", "0"))
 # Unroll factor for the per-window model scan (lax.scan ``unroll``): eval is
 # op-latency-bound (BASELINE.md roofline), so amortizing loop bookkeeping
-# across iterations is a real lever — A/B'd on a healthy chip (E2VID b16):
-# bf16 727 -> 1002 fps at unroll=4 (+38%; 1031 at 8, marginal), f32 +4%.
-# Cost is program size / compile time, so 4 is the default; lax.scan handles
-# a non-divisible remainder, results are bit-identical
-# (tests/test_scan_unroll.py).
-SCAN_UNROLL = int(os.environ.get("EVREAL_SCAN_UNROLL", "4"))
+# across iterations is a real lever — A/B'd on a healthy chip (E2VID b16
+# lockstep): bf16 727 -> 1002 fps at unroll=4 (+38%; 1031 at 8, marginal),
+# f32 +4%. Results are bit-identical across factors incl. a non-divisible
+# remainder (tests/test_scan_unroll.py). Default stays 1 because compile
+# cost is wildly program-dependent on this toolchain: the batched E2VID
+# programs compile unroll=4 in normal time, but the single-sequence
+# FireNet+ program at ECD scale stalled XLA for >9 min (measured healthy
+# chip, 2026-08-17) vs seconds at unroll=1. bench.py opts the lockstep
+# serving config into 4 explicitly.
+SCAN_UNROLL = int(os.environ.get("EVREAL_SCAN_UNROLL", "1"))
 PIPELINE_DEPTH = 8  # chunks in flight on device before the host drains one
 
 
-def make_voxel_stage(vox_fn, num_bins, hw, event_norm):
+def make_voxel_stage(vox_fn, num_bins, hw, event_norm,
+                     out_dtype=jnp.float32):
     """Jittable (xs, ys, ts, ps, count) -> (T, H, W, B) voxel stage shared by
     the grayscale and color runners.
 
@@ -83,7 +89,13 @@ def make_voxel_stage(vox_fn, num_bins, hw, event_norm):
             vox = jax.vmap(one)(xs, ys, ts, ps, count)
         if event_norm:
             vox = jax.vmap(normalize_event_tensor)(vox)
-        return vox
+        # Serving-dtype cast INSIDE the stage: binning/normalization stay
+        # f32 and the rounding point is identical to casting the caller's
+        # result, but XLA can fuse the cast into the binning epilogue, so
+        # the materialized (lanes, T, H, W, B) voxel buffer — the largest
+        # allocation in the b256 bf16 OOM dump — is held in the serving
+        # dtype rather than f32.
+        return vox.astype(out_dtype)
 
     return stage
 
@@ -447,9 +459,10 @@ class MethodRunner:
         if voxelize_impl is None:
             voxelize_impl = default_voxelize_impl()
         self._vox = resolve_voxelize_fn(voxelize_impl)
-        self.voxel_stage = make_voxel_stage(self._vox, num_bins,
-                                            (height, width), event_norm)
         self.dtype = compute_dtype()
+        self.voxel_stage = make_voxel_stage(self._vox, num_bins,
+                                            (height, width), event_norm,
+                                            out_dtype=self.dtype)
         self._params_cast = cast_params(params, self.dtype)
         self._fn = None
         self._metric_fns = {}
@@ -467,8 +480,8 @@ class MethodRunner:
 
         def fn(params, state, xs, ys, ts, ps, count):
             with matmul_precision_ctx(dtype):
-                vox = voxel_stage(xs, ys, ts, ps, count)
-                vox = crop.pad(vox.astype(dtype))  # cast first: see batched
+                vox = voxel_stage(xs, ys, ts, ps, count)  # already `dtype`
+                vox = crop.pad(vox)
 
                 # NOTE: ET-Net exposes encode_recurrent/decode_batched
                 # (only its ConvLSTM stages are recurrent), but scanning
@@ -715,12 +728,8 @@ def eval_method_on_sequence(dataset_name, eval_config, method_name, bundle,
             # outlier chunk (rare by plan_capacity construction): escalate
             # to its own bucket with one-off buffers instead of inflating
             # every pool for the whole sequence
-            cap_c, zeroed = bucket_capacity(chunk_max), True
-            views = {"xs": np.zeros((valid_t, cap_c), xy_dtype),
-                     "ys": np.zeros((valid_t, cap_c), xy_dtype),
-                     "ts": np.zeros((valid_t, cap_c), np.float32),
-                     "ps": np.zeros((valid_t, cap_c), np.int8),
-                     "count": np.zeros((valid_t,), np.int32)}
+            cap_c, views = outlier_buffers((valid_t,), chunk_max, xy_dtype)
+            zeroed = True
         buffers, metas = pack_windows(seq, chunk, capacity=cap_c,
                                       out=views, out_zeroed=zeroed,
                                       metas=[metas_all[i] for i in chunk])

@@ -25,7 +25,7 @@ import numpy as np
 _REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir)
 sys.path.insert(0, _REPO)
 
-CHUNK_T = 32
+CHUNK_T = int(os.environ.get("EVREAL_CHUNK_T", "32"))  # lane HBM ∝ n×chunk
 CAP = 32768
 N_EVENTS = 30000
 H, W = 180, 240
