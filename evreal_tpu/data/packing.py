@@ -35,6 +35,22 @@ def bucket_capacity(max_count, minimum=_MIN_CAPACITY):
     return cap
 
 
+def outlier_buffers(shape_prefix, chunk_max, xy_dtype):
+    """One-off zeroed event buffers for a chunk whose max event count
+    exceeds the pool capacity chosen by ``plan_capacity`` (the rare
+    escalation path shared by the single-sequence and lockstep-group
+    runners). ``shape_prefix``: leading dims, e.g. ``(T,)`` or ``(N, T)``.
+    Returns ``(capacity, buffers)`` with the same keys/dtypes the packers
+    expect; zeroed so tail slots read as no-event padding."""
+    cap_c = bucket_capacity(chunk_max)
+    bufs = {"xs": np.zeros(shape_prefix + (cap_c,), xy_dtype),
+            "ys": np.zeros(shape_prefix + (cap_c,), xy_dtype),
+            "ts": np.zeros(shape_prefix + (cap_c,), np.float32),
+            "ps": np.zeros(shape_prefix + (cap_c,), np.int8),
+            "count": np.zeros(shape_prefix, np.int32)}
+    return cap_c, bufs
+
+
 def plan_capacity(counts, tail_frac=0.01, min_ratio=4, minimum=_MIN_CAPACITY):
     """Pool capacity robust to heavy-tailed window sizes.
 

@@ -29,6 +29,7 @@ import os
 
 _compute_seen = False
 _staged_bytes = 0
+_put_failed = False  # a device_put raised: stop staging for the process
 
 
 def note_compute():
@@ -51,7 +52,8 @@ def _budget_bytes():
 def active():
     """True while prestaging is worthwhile: enabled, budget left, and no
     compute dispatched yet in this process."""
-    if os.environ.get("EVREAL_PRESTAGE", "1") == "0" or _compute_seen:
+    if (os.environ.get("EVREAL_PRESTAGE", "1") == "0" or _compute_seen
+            or _put_failed):
         return False
     return _staged_bytes < _budget_bytes()
 
@@ -81,8 +83,19 @@ def stage(tree):
     import numpy as np
 
     tree = jax.tree_util.tree_map(np.array, tree)
-    dev = jax.tree_util.tree_map(jax.device_put, tree)
-    jax.block_until_ready(dev)  # best-effort pacing only (see above)
+    try:
+        dev = jax.tree_util.tree_map(jax.device_put, tree)
+        jax.block_until_ready(dev)  # best-effort pacing only (see above)
+    except Exception as e:  # noqa: BLE001 — e.g. HBM ResourceExhausted
+        # Staging is an optimization; a failed put (typically HBM pressure
+        # at high lane counts) must degrade to per-chunk streaming, not
+        # abort the sequence. Stop staging for the rest of the process —
+        # the budget heuristic has already been proven wrong for this run.
+        global _put_failed
+        _put_failed = True
+        print(f"[staging] device_put failed ({type(e).__name__}); "
+              f"falling back to per-chunk streaming")
+        return None
     _staged_bytes += nbytes
     return dev
 

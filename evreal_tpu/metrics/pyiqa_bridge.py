@@ -62,9 +62,18 @@ def make_pyiqa_spec(name):
         return None
     if name not in pyiqa.list_models():
         return None
-    with warnings.catch_warnings():
-        warnings.filterwarnings("ignore", category=UserWarning)
-        metric = pyiqa.create_metric(name)
+    try:
+        with warnings.catch_warnings():
+            warnings.filterwarnings("ignore", category=UserWarning)
+            metric = pyiqa.create_metric(name)
+    except Exception as e:  # noqa: BLE001 — e.g. offline weight download
+        # Containment contract: one broken metric is warn-skipped, it must
+        # not take down the dataset eval (and every healthy metric with
+        # it). create_metric commonly fails off-network — pyiqa downloads
+        # pretrained weights on first use.
+        print(f"[metrics] pyiqa metric {name!r} failed to construct "
+              f"({type(e).__name__}: {e}); skipping")
+        return None
     no_ref = getattr(metric, "metric_mode", "FR") == "NR"
     host_batch = _host_batch_fn(metric, no_ref)
 

@@ -224,7 +224,9 @@ class EvalMetricsTracker:
         ``dropped``: metric names the harness's runtime containment
         removed mid-sequence. They are excluded from done.json's
         completion record so an EVREAL_RESUME rerun re-evaluates the
-        sequence instead of trusting a partial mean."""
+        sequence instead of trusting a partial mean, and from subsequent
+        ``get_mean_scores`` so the printed table never presents the
+        partial mean of the frames before the drop as a complete one."""
         writer, self._image_writer = getattr(self, "_image_writer",
                                              None), None
         try:
@@ -243,6 +245,7 @@ class EvalMetricsTracker:
         complete = [m for m in self.metric_names
                     if m not in set(dropped)
                     and (self.scores[m] or not self.quan_eval_indices)]
+        self._dropped = set(dropped)
         mean_scores = {k: v for k, v in self.get_mean_scores().items()
                        if k in complete}
         with open(self._done_path(), "w", encoding="utf-8") as f:
@@ -255,10 +258,14 @@ class EvalMetricsTracker:
         return len(self.quan_eval_indices)
 
     def get_mean_scores(self):
+        dropped = getattr(self, "_dropped", ())
         out = {}
         for name in self.metric_names:
             vals = self.scores[name]
-            out[name] = sum(vals) / len(vals) if vals else -1
+            # a runtime-dropped metric has partial scores; report the
+            # no-result sentinel, matching its exclusion from done.json
+            out[name] = (sum(vals) / len(vals)
+                         if vals and name not in dropped else -1)
         return out
 
     # -- videos ---------------------------------------------------------------

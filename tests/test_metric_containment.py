@@ -197,3 +197,21 @@ def test_color_histeq_writes_processed_images(seq_dir, tmp_path,
         pngs = [p for p in (tmp_path / "outputs").rglob("frame_*.png")
                 if "processed" in str(p)]
     assert pngs, "no processed PNGs written for color+histeq"
+
+
+def test_mid_sequence_drop_excluded_from_mean_table(tmp_path):
+    """A metric dropped AFTER recording some chunks must not present its
+    partial mean in get_mean_scores() as if complete — the printed table
+    and done.json stay consistent (round-2 review finding)."""
+    from evreal_tpu.metrics.tracker import EvalMetricsTracker
+
+    t = EvalMetricsTracker(output_dir=str(tmp_path / "o"),
+                           quan_eval_metric_names=["mse", "flaky"],
+                           has_reference_frames=True)
+    for i in range(3):
+        t.update(i, None, None, float(i),
+                 scores={"mse": 0.5, "flaky": 0.9})
+    t.finalize(2, dropped=["flaky"])
+    means = t.get_mean_scores()
+    assert means["mse"] == pytest.approx(0.5)
+    assert means["flaky"] == -1  # partial mean suppressed

@@ -143,3 +143,22 @@ def test_without_pyiqa_unknown_stays_unknown(capsys):
     specs = registry.resolve(["definitelynotametric"])
     assert specs == []
     assert "Unknown metric definitelynotametric" in capsys.readouterr().out
+
+
+def test_create_metric_failure_is_contained(monkeypatch, capsys):
+    """A name pyiqa knows but cannot construct (typical: weight download
+    off-network) warn-skips instead of killing the dataset eval."""
+    import types
+
+    mod = types.ModuleType("pyiqa")
+    mod.list_models = lambda: ["deadmetric"]
+
+    def explode(name):
+        raise OSError("connection refused downloading weights")
+
+    mod.create_metric = explode
+    monkeypatch.setitem(sys.modules, "pyiqa", mod)
+    specs = registry.resolve(["mse", "deadmetric"])
+    assert [s.name for s in specs] == ["mse"]
+    out = capsys.readouterr().out
+    assert "deadmetric" in out and "skipping" in out

@@ -33,6 +33,7 @@ def fresh_staging(monkeypatch):
     budget, default env."""
     monkeypatch.setattr(staging, "_compute_seen", False)
     monkeypatch.setattr(staging, "_staged_bytes", 0)
+    monkeypatch.setattr(staging, "_put_failed", False)
     monkeypatch.delenv("EVREAL_PRESTAGE", raising=False)
     monkeypatch.delenv("EVREAL_PRESTAGE_MB", raising=False)
 
@@ -145,3 +146,21 @@ def test_malformed_budget_fails_fast(monkeypatch):
     monkeypatch.setenv("EVREAL_PRESTAGE_MB", "lots")
     with pytest.raises(SystemExit, match="EVREAL_PRESTAGE_MB"):
         staging.active()
+
+
+def test_put_failure_degrades_to_streaming(monkeypatch, capsys):
+    """An HBM-pressure device_put failure must return None (caller streams
+    the chunk) and disable staging for the rest of the process, never
+    propagate."""
+    import jax
+
+    def boom(_):
+        raise RuntimeError("RESOURCE_EXHAUSTED: out of memory")
+
+    monkeypatch.setattr(jax, "device_put", boom)
+    assert staging.stage({"x": np.zeros(4, np.float32)}) is None
+    assert "streaming" in capsys.readouterr().out
+    assert not staging.active()
+    # subsequent stage() calls short-circuit without touching device_put
+    monkeypatch.setattr(jax, "device_put", lambda a: a)
+    assert staging.stage({"x": np.zeros(4, np.float32)}) is None
