@@ -60,3 +60,26 @@ def test_single_seq_unroll_bit_identical(monkeypatch):
         outs[unroll] = (np.asarray(imgs), np.asarray(clipped))
     assert np.array_equal(outs[1][0], outs[3][0])
     assert np.array_equal(outs[1][1], outs[3][1])
+
+
+def test_voxel_stage_out_dtype_same_rounding():
+    """make_voxel_stage(out_dtype=bf16) must equal compute-in-f32 then
+    cast — the serving-dtype output is a materialization change, not a
+    numerics change (binning/normalization stay f32 inside the stage)."""
+    import jax.numpy as jnp
+
+    from evreal_tpu.harness.runner import make_voxel_stage
+    from evreal_tpu.ops.voxelize import voxelize_scatter
+
+    h, w, t = 24, 32, 4
+    bufs = _buffers(np.random.default_rng(3), 1, t, h, w, cap=256)
+    args = tuple(bufs[k][0] for k in ("xs", "ys", "ts", "ps", "count"))
+    for event_norm in (False, True):
+        f32 = make_voxel_stage(voxelize_scatter, 5, (h, w), event_norm)
+        bf16 = make_voxel_stage(voxelize_scatter, 5, (h, w), event_norm,
+                                out_dtype=jnp.bfloat16)
+        out = bf16(*args)
+        assert out.dtype == jnp.bfloat16
+        a = np.asarray(out)
+        b = np.asarray(f32(*args).astype(jnp.bfloat16))
+        assert np.array_equal(a, b)
