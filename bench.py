@@ -154,15 +154,48 @@ def h2d_probe(repeats=3):
     return buf.nbytes / 1e9 / max(best - rtt, 1e-9)
 
 
+def _backend_guard(seconds):
+    """Self-diagnosis for an unreachable backend: the tunneled TPU client
+    has been observed hanging indefinitely in init (backend wedged for
+    >1 h after killed in-flight compiles, 2026-08-17). Rather than hang
+    past any driver timeout and record nothing, emit ONE JSON line naming
+    the condition and exit. Cancel by .set() once devices() returns."""
+    import os as _os
+    import sys as _sys
+    import threading
+
+    done = threading.Event()
+
+    def fire():
+        if not done.wait(seconds):
+            print(json.dumps({
+                "metric": "e2vid_recon_fps_ecd_b16", "value": 0.0,
+                "unit": "frames/s", "vs_baseline": 0.0,
+                "error": f"jax backend unreachable (init exceeded "
+                         f"{seconds:.0f}s); chip state unknown — "
+                         f"not a framework measurement"}))
+            _sys.stdout.flush()
+            _os._exit(3)
+
+    threading.Thread(target=fire, daemon=True).start()
+    return done
+
+
 def main():
     import os
     import sys
+
+    guard = _backend_guard(
+        float(os.environ.get("EVREAL_BENCH_INIT_TIMEOUT_S", "900")))
 
     import jax
 
     from evreal_tpu.harness.batched import BatchedRunner
     from evreal_tpu.models import build_flagship_e2vid
     from evreal_tpu.utils import enable_compile_cache
+
+    jax.devices()  # blocks in client init when the tunnel is wedged
+    guard.set()
 
     # persistent compilation cache: first compile of this program has been
     # observed taking minutes when the chip is degraded; later runs (incl.
