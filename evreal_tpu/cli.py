@@ -20,6 +20,12 @@ def eval_main(argv=None):
                         help="quantitative evaluation metrics that will be "
                              "used calculate scores")
     args = parser.parse_args(argv)
+    # persistent XLA compile cache: the same (model, resolution, chunk)
+    # programs recur across CLI invocations, and compiles stretch to
+    # minutes when the chip is degraded (CLAUDE.md)
+    from evreal_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
     evaluate(args.method, args.config, args.dataset, args.metrics)
 
 
