@@ -65,3 +65,23 @@ def test_dryrun_multichip_survives_preinitialized_backend():
                           capture_output=True, text=True, timeout=900)
     assert proc.returncode == 0, (proc.stdout, proc.stderr)
     assert "dryrun_multichip(8): ok" in proc.stdout, proc.stdout
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_survives_wedged_accelerator_env():
+    """With an accelerator plugin environment present (JAX_PLATFORMS=axon
+    + PALLAS_AXON_POOL_IPS set — the driver's real env), the dryrun must
+    still pass: it re-execs with the plugin's registration gate unset and
+    JAX_PLATFORMS=cpu, so a dead/wedged tunnel can never hang client init
+    (observed live: relay death hung every jax.devices() for hours)."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "axon"
+    env.setdefault("PALLAS_AXON_POOL_IPS", "10.0.0.1")
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, (proc.stdout, proc.stderr)
+    assert "dryrun_multichip(8): ok" in proc.stdout, proc.stdout
