@@ -25,7 +25,8 @@ REF_CKPT = "/root/reference/pretrained/FireNet+/model.pth"
 
 @pytest.mark.slow
 @pytest.mark.parametrize("golden_name", ["firenet_plus_syn",
-                                         "firenet_plus_syn_t50ms"])
+                                         "firenet_plus_syn_t50ms",
+                                         "firenet_plus_syn_k3k"])
 def test_cli_matches_reference_goldens(golden_name, tmp_path, monkeypatch,
                                        capsys):
     with open(os.path.join(HERE, "goldens", golden_name + ".json"),
@@ -42,10 +43,25 @@ def test_cli_matches_reference_goldens(golden_name, tmp_path, monkeypatch,
         "sequences": {"seq0": {"start_time_s": sc["start_s"],
                                "end_time_s": sc["end_s"]}},
     }))
-    # the shipped eval config must carry the golden scenario's windowing
-    # and gating — assert instead of assuming
     from evreal_tpu.harness.config import get_eval_configs
 
+    if cfg_name.endswith("_golden"):
+        # scenario-specific eval config (the k_events golden widens
+        # ts_tol_ms — see gen_golden_scores.SCENARIOS): written into the
+        # CWD config tree, which the resolver searches first, exercising
+        # the same user-supplied-config path as a real deployment
+        (tmp_path / "config" / "eval").mkdir(parents=True)
+        (tmp_path / "config" / "eval" / (cfg_name + ".json")).write_text(
+            json.dumps({
+                "dataset_kwargs": {"num_bins": 5,
+                                   "voxel_method": sc["voxel_method"],
+                                   "keep_ratio": 1.0},
+                "save_images": False, "histeq": "none",
+                "eval_infer_all": False, "ts_tol_ms": sc["ts_tol_ms"],
+                "create_video": False,
+            }))
+    # the resolved eval config must carry the golden scenario's windowing
+    # and gating — assert instead of assuming
     (ec,) = get_eval_configs([cfg_name])
     assert ec["ts_tol_ms"] == sc["ts_tol_ms"]
     want_vm = sc["voxel_method"] or {"method": "between_frames"}
