@@ -16,6 +16,11 @@ self-diagnosis keys:
   big-matmul and 79 GB/s HBM were measured in the same state). A fixed
   known-good chained matmul is timed first so a reader can tell "slow
   framework" from "sick chip" without external context.
+- ``probe_op_latency_us``: per-iteration time of a minimal conv scan — the
+  small-op dispatch-latency axis, which degrades independently of the MXU
+  and HBM clocks (measured 25x degraded while both compute probes read
+  healthy, 2026-08-18) and governs batch-1 latency; the lockstep batched
+  headline is insensitive to it.
 - ``model_tflops_per_s`` / ``mfu_vs_bf16_peak``: achieved FLOP/s of the
   pipeline program (XLA cost analysis of the compiled chunk / measured
   chunk time) and its fraction of the device's bf16 peak — the number that
@@ -65,6 +70,18 @@ HEALTHY_HBM_GBPS = 480.0
 # does not recover it. The headline `value` is h2d-bound in that state
 # (184 MB/chunk), which is why `device_resident_fps` is reported alongside.
 HEALTHY_H2D_GBPS = 0.045
+# per-iteration wall time of a minimal conv scan (op_latency_probe) — the
+# third, independent degradation axis: small-op dispatch latency. Measured
+# 2026-08-18 in a state where the MXU probe read 139 TFLOP/s and HBM
+# 520 GB/s (both healthy) while batch-1 E2VID ran at 26 ms/frame instead
+# of the best-observed 0.95 — i.e. this axis alone was ~25x degraded and
+# NEITHER compute probe saw it. It drifts on ~tens-of-minutes timescales
+# (the same dissection measured 28.4 then 4.5 ms/frame 30 min apart), so
+# batch-1 latency numbers are only comparable within a bracketed A/B.
+# The lockstep serving config is insensitive to it (b16 f32 resident
+# measured 256 both degraded and healthy) — which is exactly why the
+# batched runner is the default (BASELINE.md roofline note).
+HEALTHY_OP_LATENCY_US = 40.0
 
 def chip_probe(repeats=3):
     """TFLOP/s of a fixed chained bf16 matmul (16 x 8192^3 = 17.6 TFLOP per
@@ -154,6 +171,42 @@ def h2d_probe(repeats=3):
     return buf.nbytes / 1e9 / max(best - rtt, 1e-9)
 
 
+def op_latency_probe(repeats=3):
+    """us per iteration of a 64-step lax.scan whose body is one small conv —
+    the harness's loop construct at roughly the per-op shape of the eval
+    models. Measures the small-op dispatch-latency axis that the MXU and
+    HBM probes are blind to (see HEALTHY_OP_LATENCY_US): batch-1 eval
+    latency scales almost linearly with it, the lockstep batched path does
+    not. The conv math itself is ~2 MFLOP — negligible at any clock — so
+    this is nearly pure per-op/per-iteration overhead."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    iters = 64
+    x = jnp.ones((1, 64, 64, 16), jnp.float32)
+    k = jnp.full((3, 3, 16, 16), 0.01, jnp.float32)
+
+    @jax.jit
+    def prog(x):
+        def body(v, _):
+            v = lax.conv_general_dilated(
+                v, k, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return jnp.tanh(v), ()
+
+        v, _ = lax.scan(body, x, None, length=iters)
+        return v.sum()
+
+    float(prog(x))  # compile + warm
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(prog(x))  # scalar fetch: trustworthy fence on this tunnel
+        best = min(best, time.perf_counter() - t0)
+    return best / iters * 1e6
+
+
 def _backend_guard(seconds):
     """Self-diagnosis for an unreachable backend: the tunneled TPU client
     has been observed hanging indefinitely in init (backend wedged for
@@ -213,13 +266,22 @@ def main():
 
     probe_tflops = chip_probe()
     probe_hbm = hbm_probe()
+    probe_op_us = op_latency_probe()
     probe_h2d = h2d_probe()
+    # `throttled` covers the axes the lockstep headline depends on (MXU /
+    # HBM clocks). The op-latency axis gets its own flag: it governs
+    # batch-1 / per-method latency but the b16 lockstep headline is
+    # insensitive to it (256 f32 resident fps measured in both states),
+    # so it must not invalidate a headline capture.
     throttled = (probe_tflops < 0.5 * HEALTHY_PROBE_TFLOPS
                  or probe_hbm < 0.5 * HEALTHY_HBM_GBPS)
     probes = {"probe_tflops": round(probe_tflops, 1),
               "healthy_probe_tflops": HEALTHY_PROBE_TFLOPS,
               "probe_hbm_gbps": round(probe_hbm, 1),
               "healthy_hbm_gbps": HEALTHY_HBM_GBPS,
+              "probe_op_latency_us": round(probe_op_us, 1),
+              "healthy_op_latency_us": HEALTHY_OP_LATENCY_US,
+              "op_latency_degraded": probe_op_us > 5.0 * HEALTHY_OP_LATENCY_US,
               "probe_h2d_gbps": round(probe_h2d, 3),
               "healthy_h2d_gbps": HEALTHY_H2D_GBPS,
               "throttled": throttled}

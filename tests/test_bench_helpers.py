@@ -16,6 +16,15 @@ def test_backend_guard_cancel_path():
     assert True
 
 
+def test_op_latency_probe_runs():
+    """The op-latency probe (small-op dispatch axis) must execute on any
+    backend and return a sane per-iteration time."""
+    import bench
+
+    us = bench.op_latency_probe(repeats=1)
+    assert 0.0 < us < 1e6
+
+
 def test_backend_guard_fires_in_subprocess():
     """Un-cancelled, the guard prints the error JSON and exits 3 — the
     driver records a self-describing artifact instead of hanging."""
