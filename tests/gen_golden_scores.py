@@ -27,18 +27,25 @@ REPO = os.path.dirname(HERE)
 SEQ_KW = {"height": 48, "width": 64, "duration_s": 1.0, "fps": 20,
           "events_per_frame": 1200, "seed": 11}
 START_S, END_S = 0.1, 0.8
-# (name, eval_config, voxel_method, ts_tol_ms). The k_events scenario uses
-# a widened tolerance (the test writes the matching eval config into its
-# CWD): k-window boundaries land on event timestamps, which are almost
-# never within the shipped 1 ms of a 20 fps frame grid — the shipped k
-# configs would gate out every frame of the synthetic sequence and the
-# golden would lock nothing.
+# (name, eval_config, voxel_method, ts_tol_ms, method). The k_events
+# scenario uses a widened tolerance (the test writes the matching eval
+# config into its CWD): k-window boundaries land on event timestamps,
+# which are almost never within the shipped 1 ms of a 20 fps frame grid —
+# the shipped k configs would gate out every frame of the synthetic
+# sequence and the golden would lock nothing. The FireNet (legacy)
+# scenario locks the other real shipped checkpoint, its
+# ``ckpt['config']['model']`` loading schema AND the input event-tensor
+# normalization its method config enables (eval.py:222-223, 398-410) —
+# a path the FireNet+ goldens never exercise.
 SCENARIOS = [
-    ("firenet_plus_syn", "std", None, 1.0),
+    ("firenet_plus_syn", "std", None, 1.0, "FireNet+"),
     ("firenet_plus_syn_t50ms", "t50ms",
-     {"method": "t_seconds", "t": 0.05, "sliding_window_t": 0}, 1.0),
+     {"method": "t_seconds", "t": 0.05, "sliding_window_t": 0}, 1.0,
+     "FireNet+"),
     ("firenet_plus_syn_k3k", "k3k_golden",
-     {"method": "k_events", "k": 3000, "sliding_window_w": 0}, 30.0),
+     {"method": "k_events", "k": 3000, "sliding_window_w": 0}, 30.0,
+     "FireNet+"),
+    ("firenet_legacy_syn", "std", None, 1.0, "FireNet"),
 ]
 
 
@@ -52,18 +59,20 @@ def main():
     with tempfile.TemporaryDirectory() as d:
         seq_dir = os.path.join(d, "seq0")
         make_sequence(seq_dir, **SEQ_KW)
-        for name, eval_cfg, voxel_method, ts_tol_ms in SCENARIOS:
+        for name, eval_cfg, voxel_method, ts_tol_ms, method in SCENARIOS:
             rows = reference_pipeline(seq_dir, START_S, END_S,
                                       ts_tol_ms=ts_tol_ms,
-                                      voxel_method=voxel_method)
+                                      voxel_method=voxel_method,
+                                      method=method)
             assert rows, f"scenario {name} produced no evaluated frames"
             out = {
                 "scenario": {"sequence": SEQ_KW, "start_s": START_S,
                              "end_s": END_S, "ts_tol_ms": ts_tol_ms,
                              "eval_config": eval_cfg,
                              "voxel_method": voxel_method,
+                             "method": method,
                              "checkpoint":
-                                 "/root/reference/pretrained/FireNet+"},
+                                 f"/root/reference/pretrained/{method}"},
                 "rows": [{"idx": idx, "ts": ts, "mse": mse, "ssim": ssim}
                          for idx, ts, mse, ssim in rows],
             }

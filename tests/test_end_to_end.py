@@ -45,27 +45,59 @@ def seq_dir(tmp_path_factory):
 
 
 def reference_pipeline(seq_dir, start_s, end_s, ts_tol_ms=1.0,
-                       voxel_method=None):
-    """Reference eval loop semantics (eval.py:189-246) in torch on CPU."""
+                       voxel_method=None, method="FireNet+"):
+    """Reference eval loop semantics (eval.py:189-246) in torch on CPU.
+
+    ``method`` selects between the two real shipped checkpoints:
+    "FireNet+" (FireNet class, num_encoders forced 0, no input norm —
+    eval.py:154-155) and "FireNet" (FireNet_legacy from
+    ``ckpt['config']['model']`` kwargs with final_activation forced '',
+    eval.py:145-148, plus the per-tensor nonzero-mean/std input
+    normalization its method config enables — eval.py:222-223, 398-410).
+    """
     import torch
 
     ds_mod = ref_module("dataset")
     util = ref_module("utils.util")
     mm = ref_module("model.model")
 
-    ckpt = torch.load(CKPT, map_location="cpu", weights_only=False)
-    cfg = ckpt["config"]["arch"]
-    model = mm.FireNet(**cfg["args"])
+    if method == "FireNet":
+        legacy = ref_module("model.legacy")
+        ckpt = torch.load("/root/reference/pretrained/FireNet/model.pth",
+                          map_location="cpu", weights_only=False)
+        kw = dict(ckpt["config"]["model"])
+        kw["final_activation"] = ""
+        model = legacy.FireNet_legacy(kw)
+        normalize_input = True
+    else:
+        ckpt = torch.load(CKPT, map_location="cpu", weights_only=False)
+        cfg = ckpt["config"]["arch"]
+        model = mm.FireNet(**cfg["args"])
+        normalize_input = False
     model.load_state_dict(ckpt["state_dict"])
     model.eval()
-    model.num_encoders = 0
+    if method != "FireNet":
+        model.num_encoders = 0
     model.reset_states()
+
+    def normalize_event_tensor(event_tensor):
+        # eval.py:398-410 verbatim semantics
+        nonzero = event_tensor != 0
+        num_nonzeros = nonzero.sum()
+        if num_nonzeros > 0:
+            mean = event_tensor.sum() / num_nonzeros
+            stddev = torch.sqrt((event_tensor ** 2).sum() / num_nonzeros
+                                - mean ** 2)
+            stddev = torch.max(stddev, torch.tensor(1e-6))
+            mask = nonzero.float()
+            event_tensor = mask * (event_tensor - mean) / stddev
+        return event_tensor
 
     ds = ds_mod.MemMapDataset(
         seq_dir, num_bins=5,
         voxel_method=voxel_method or {"method": "between_frames"})
     h, w = ds.sensor_resolution
-    cropper = util.CropParameters(w, h, 0)
+    cropper = util.CropParameters(w, h, model.num_encoders)
     rows = []
     with torch.no_grad():
         for idx in range(len(ds)):
@@ -75,7 +107,10 @@ def reference_pipeline(seq_dir, start_s, end_s, ts_tol_ms=1.0,
                 continue
             if pred_ts > end_s:
                 break
-            voxel = cropper.pad(item["events"].unsqueeze(0))
+            voxel = item["events"]
+            if normalize_input:
+                voxel = normalize_event_tensor(voxel)
+            voxel = cropper.pad(voxel.unsqueeze(0))
             img = cropper.crop(model(voxel)["image"])[0, 0].numpy()
             img = np.clip(img, 0, 1)
             ref = np.clip(item["frame"][0].numpy(), 0, 1)

@@ -20,13 +20,13 @@ sys.path.insert(0, "/root/repo/tools")
 from make_synthetic_sequence import make_sequence  # noqa: E402
 
 HERE = os.path.dirname(os.path.abspath(__file__))
-REF_CKPT = "/root/reference/pretrained/FireNet+/model.pth"
 
 
 @pytest.mark.slow
 @pytest.mark.parametrize("golden_name", ["firenet_plus_syn",
                                          "firenet_plus_syn_t50ms",
-                                         "firenet_plus_syn_k3k"])
+                                         "firenet_plus_syn_k3k",
+                                         "firenet_legacy_syn"])
 def test_cli_matches_reference_goldens(golden_name, tmp_path, monkeypatch,
                                        capsys):
     with open(os.path.join(HERE, "goldens", golden_name + ".json"),
@@ -67,18 +67,20 @@ def test_cli_matches_reference_goldens(golden_name, tmp_path, monkeypatch,
     want_vm = sc["voxel_method"] or {"method": "between_frames"}
     assert ec["dataset_kwargs"]["voxel_method"] == want_vm
 
-    ckpt_dir = tmp_path / "pretrained" / "FireNet+"
+    method = sc.get("method", "FireNet+")
+    ckpt_dir = tmp_path / "pretrained" / method
     ckpt_dir.mkdir(parents=True)
-    shutil.copy(REF_CKPT, ckpt_dir / "model.pth")
+    shutil.copy(f"/root/reference/pretrained/{method}/model.pth",
+                ckpt_dir / "model.pth")
 
     from evreal_tpu.cli import eval_main
 
-    eval_main(["-m", "FireNet+", "-c", cfg_name, "-d", "SYN",
+    eval_main(["-m", method, "-c", cfg_name, "-d", "SYN",
                "-qm", "mse", "ssim"])
     out = capsys.readouterr().out
-    assert "FireNet+" in out
+    assert method in out
 
-    out_dir = tmp_path / "outputs" / cfg_name / "SYN" / "seq0" / "FireNet+"
+    out_dir = tmp_path / "outputs" / cfg_name / "SYN" / "seq0" / method
     ts_rows = [l.split() for l in
                (out_dir / "timestamps.txt").read_text().splitlines()]
     mse_rows = [l.split() for l in
