@@ -1,0 +1,353 @@
+"""Long-lived reconstruction serving runtime (beyond the reference).
+
+The reference is batch-offline only: every run pays model load + per-frame
+Python dispatch and writes scores to disk (eval.py:189-246). This module is
+the deployment counterpart for the TPU pipeline: a resident engine that
+loads a method once, keeps converted weights and compiled programs alive,
+and turns incoming event windows into reconstructed frames for any number
+of concurrent camera streams.
+
+Design (TPU-first):
+
+* One ``ReconEngine`` per method. Per sensor resolution it lazily builds a
+  ``MethodRunner`` with ``chunk_t=1`` (one window per dispatch — the
+  latency-serving configuration; the offline CLI uses big chunks for
+  throughput). Compiled programs are cached per (resolution,
+  capacity-bucket) by ``jax.jit``'s signature cache, so the 2nd..Nth
+  stream at a resolution pays zero compiles.
+* Each stream session owns only its recurrent-state pytree (a few MB in
+  HBM); all sessions share params and programs. State stays device-resident
+  between windows — per push, the host uploads one packed event window and
+  downloads one frame.
+* Windowing stays a client concern (between_frames / t_seconds / k_events
+  are policies over the event stream, reference dataset.py:104-130); the
+  engine consumes "one window of events" per ``push`` — the same contract
+  as the model zoo's ``(params, state, voxel) -> (out, state)``.
+* Event capacities are bucketed to powers of two (data/packing.py) to
+  bound program variants; polarity accepts the on-disk {0,1} or ±1.
+
+A minimal socket transport (newline JSON header with per-array
+dtype/shape metadata + raw C-order bytes) and a CLI
+(``python -m evreal_tpu.serve``) are included; the in-process API is the
+real surface.
+"""
+
+import json
+import os
+import socket
+import socketserver
+import threading
+
+import numpy as np
+
+from evreal_tpu.data.packing import bucket_capacity
+
+_MIN_SERVE_CAPACITY = 2048
+
+
+def _pack_window(xs, ys, ts, ps, capacity=None):
+    """One event window -> the runner's (T=1, E) packed buffers.
+
+    ``ts`` may be absolute (zero-based here, float64 before the f32
+    narrowing — same precision order as data/packing.py); ``ps`` may be
+    the on-disk {0,1} or already ±1 (0 maps to -1, reference
+    dataset.py:227).
+    """
+    n = len(xs)
+    cap = capacity or bucket_capacity(n, _MIN_SERVE_CAPACITY)
+    if cap < n:
+        raise ValueError(f"window of {n} events exceeds capacity {cap}")
+    xs = np.asarray(xs)
+    int_coords = np.issubdtype(xs.dtype, np.integer)
+    xy_dtype = np.int16 if int_coords else np.float32
+    out = {"xs": np.zeros((1, cap), xy_dtype),
+           "ys": np.zeros((1, cap), xy_dtype),
+           "ts": np.zeros((1, cap), np.float32),
+           "ps": np.zeros((1, cap), np.int8),
+           "count": np.array([n], np.int32)}
+    if n:
+        out["xs"][0, :n] = xs
+        out["ys"][0, :n] = ys
+        t = np.asarray(ts, np.float64)
+        out["ts"][0, :n] = (t - t[0]).astype(np.float32)
+        p = np.asarray(ps)
+        out["ps"][0, :n] = np.where(p > 0, 1, -1).astype(np.int8)
+    return out
+
+
+class _Stream:
+    __slots__ = ("runner", "state", "frames")
+
+    def __init__(self, runner):
+        self.runner = runner
+        self.state = runner.init_state()
+        self.frames = 0
+
+
+class ReconEngine:
+    """Resident single-method serving engine; thread-safe via one lock
+    (JAX dispatch itself is serialized per process anyway)."""
+
+    def __init__(self, model, params, *, event_norm=False, post_norm="none",
+                 num_bins=None, chunk_t=1):
+        self.model = model
+        self.params = params
+        self.event_norm = event_norm
+        self.post_norm = post_norm
+        self.num_bins = num_bins if num_bins is not None else model.num_bins
+        self.chunk_t = chunk_t
+        self._runners = {}   # (h, w) -> MethodRunner
+        self._streams = {}   # sid -> _Stream
+        self._next_sid = 1
+        self._lock = threading.Lock()
+
+    @classmethod
+    def from_method(cls, method_name, method_config=None):
+        """Build from a method name exactly like the eval CLI: resolves
+        ``config/method/<name>.json``, converts/caches the checkpoint
+        (weights/converted), honors the method's input/output
+        normalization flags."""
+        from evreal_tpu.harness.config import get_method_config
+        from evreal_tpu.harness.runner import MethodBundle
+
+        cfg = dict(get_method_config(method_name))
+        if method_config:
+            cfg.update(method_config)
+        bundle = MethodBundle(method_name, cfg)
+        return cls(bundle.model, bundle.params,
+                   event_norm=cfg.get("event_tensor_normalization", False),
+                   post_norm=cfg.get("post_process_norm", "none"))
+
+    def _runner(self, h, w):
+        key = (int(h), int(w))
+        r = self._runners.get(key)
+        if r is None:
+            from evreal_tpu.harness.runner import MethodRunner
+
+            r = MethodRunner(self.model, self.params,
+                             event_norm=self.event_norm,
+                             post_norm=self.post_norm,
+                             height=key[0], width=key[1],
+                             num_bins=self.num_bins, chunk_t=self.chunk_t)
+            self._runners[key] = r
+        return r
+
+    def open_stream(self, height, width):
+        """Register a camera stream at a sensor resolution; returns sid."""
+        with self._lock:
+            runner = self._runner(height, width)
+            sid = self._next_sid
+            self._next_sid += 1
+            self._streams[sid] = _Stream(runner)
+            return sid
+
+    def _get(self, sid):
+        try:
+            return self._streams[sid]
+        except KeyError:
+            raise KeyError(f"unknown stream id {sid}") from None
+
+    def push(self, sid, xs, ys, ts, ps, *, u8=False):
+        """Feed one event window; returns the reconstructed frame (H, W)
+        float32 in [0, 1] (or uint8 with ``u8=True`` — quantized on device,
+        4x fewer device->host bytes)."""
+        with self._lock:
+            st = self._get(sid)
+            bufs = _pack_window(xs, ys, ts, ps)
+            state, _, clipped = st.runner.run(st.state, bufs)
+            st.state = state
+            st.frames += 1
+            out = st.runner.quantize_u8(clipped[0]) if u8 else clipped[0]
+            return np.asarray(out)
+
+    def reset(self, sid):
+        """Zero the stream's recurrent state (new sequence semantics —
+        the reference's model.reset_states(), eval.py:197)."""
+        with self._lock:
+            st = self._get(sid)
+            st.state = st.runner.init_state()
+            st.frames = 0
+
+    def close(self, sid):
+        with self._lock:
+            self._streams.pop(sid, None)
+
+    def stats(self):
+        with self._lock:
+            return {"streams": len(self._streams),
+                    "resolutions": sorted(self._runners),
+                    "frames": sum(s.frames for s in self._streams.values())}
+
+
+# ---------------------------------------------------------------------------
+# socket transport: one newline-terminated JSON header per message carrying
+# per-array {dtype, shape} metadata, followed by the arrays' raw bytes
+# (C-order). Sockets are not seekable, which rules out np.save/np.load.
+# ---------------------------------------------------------------------------
+
+def _send(fobj, header, arrays=()):
+    arrays = [np.ascontiguousarray(a) for a in arrays]
+    header = dict(header)
+    header["meta"] = [{"dtype": a.dtype.str, "shape": list(a.shape)}
+                      for a in arrays]
+    fobj.write((json.dumps(header) + "\n").encode())
+    for a in arrays:
+        fobj.write(a.tobytes())
+    fobj.flush()
+
+
+def _read_exact(fobj, n):
+    chunks = []
+    while n:
+        b = fobj.read(n)
+        if not b:
+            raise EOFError("connection closed mid-payload")
+        chunks.append(b)
+        n -= len(b)
+    return b"".join(chunks)
+
+
+def _recv(fobj):
+    line = fobj.readline()
+    if not line:
+        return None, []
+    header = json.loads(line.decode())
+    arrays = []
+    for m in header.get("meta", []):
+        dt = np.dtype(m["dtype"])
+        shape = tuple(m["shape"])
+        count = int(np.prod(shape, dtype=np.int64))
+        buf = _read_exact(fobj, count * dt.itemsize)
+        arrays.append(np.frombuffer(buf, dt).reshape(shape))
+    return header, arrays
+
+
+class _Handler(socketserver.StreamRequestHandler):
+    def handle(self):
+        engine = self.server.engine
+        while True:
+            try:
+                header, arrays = _recv(self.rfile)
+            except (ValueError, OSError, EOFError):
+                break
+            if header is None:
+                break
+            try:
+                op = header["op"]
+                if op == "open":
+                    sid = engine.open_stream(header["height"],
+                                             header["width"])
+                    _send(self.wfile, {"ok": True, "sid": sid})
+                elif op == "push":
+                    xs, ys, ts, ps = arrays
+                    frame = engine.push(header["sid"], xs, ys, ts, ps,
+                                        u8=bool(header.get("u8", False)))
+                    _send(self.wfile, {"ok": True}, [frame])
+                elif op == "reset":
+                    engine.reset(header["sid"])
+                    _send(self.wfile, {"ok": True})
+                elif op == "close":
+                    engine.close(header["sid"])
+                    _send(self.wfile, {"ok": True})
+                elif op == "stats":
+                    _send(self.wfile, {"ok": True, **engine.stats()})
+                else:
+                    _send(self.wfile, {"ok": False,
+                                       "error": f"unknown op {op!r}"})
+            except BrokenPipeError:
+                break
+            except Exception as e:  # noqa: BLE001 — a bad request must not
+                # kill the server; report and keep the connection
+                try:
+                    _send(self.wfile, {"ok": False,
+                                       "error": f"{type(e).__name__}: {e}"})
+                except OSError:
+                    break
+
+
+class ReconServer(socketserver.ThreadingUnixStreamServer):
+    """Unix-socket server over a ReconEngine (engine lock serializes
+    device work across client threads)."""
+
+    daemon_threads = True
+
+    def __init__(self, engine, path):
+        if os.path.exists(path):
+            os.unlink(path)
+        super().__init__(path, _Handler)
+        self.engine = engine
+
+
+class ReconClient:
+    """Minimal blocking client for ReconServer's protocol."""
+
+    def __init__(self, path):
+        self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        self._sock.connect(path)
+        self._f = self._sock.makefile("rwb")
+
+    def _call(self, header, arrays=()):
+        _send(self._f, header, arrays)
+        resp, payload = _recv(self._f)
+        if resp is None:
+            raise ConnectionError("server closed the connection")
+        if not resp.get("ok"):
+            raise RuntimeError(resp.get("error", "server error"))
+        return resp, payload
+
+    def open_stream(self, height, width):
+        resp, _ = self._call({"op": "open", "height": int(height),
+                              "width": int(width)})
+        return resp["sid"]
+
+    def push(self, sid, xs, ys, ts, ps, u8=False):
+        _, payload = self._call(
+            {"op": "push", "sid": sid, "u8": bool(u8)},
+            [np.asarray(xs), np.asarray(ys),
+             np.asarray(ts, np.float64), np.asarray(ps)])
+        return payload[0]
+
+    def reset(self, sid):
+        self._call({"op": "reset", "sid": sid})
+
+    def close_stream(self, sid):
+        self._call({"op": "close", "sid": sid})
+
+    def stats(self):
+        resp, _ = self._call({"op": "stats"})
+        return {k: v for k, v in resp.items() if k != "ok"}
+
+    def close(self):
+        try:
+            self._f.close()
+        finally:
+            self._sock.close()
+
+
+def main(argv=None):
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        description="evreal_tpu reconstruction server")
+    parser.add_argument("-m", "--method", required=True,
+                        help="method name (config/method/<name>.json)")
+    parser.add_argument("--socket", default="/tmp/evreal_serve.sock",
+                        help="unix socket path")
+    args = parser.parse_args(argv)
+
+    from evreal_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
+    engine = ReconEngine.from_method(args.method)
+    server = ReconServer(engine, args.socket)
+    print(f"serving {args.method} on {args.socket}", flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.server_close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,188 @@
+"""Serving runtime (evreal_tpu/serve.py): the resident engine must produce
+exactly the offline pipeline's frames, keep streams isolated, and survive a
+socket round-trip."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from evreal_tpu.models import build_flagship_e2vid
+from evreal_tpu.serve import ReconClient, ReconEngine, ReconServer
+
+H, W, NBINS = 32, 48, 5
+
+
+@pytest.fixture(scope="module")
+def model_params():
+    return build_flagship_e2vid(seed=0)
+
+
+def _windows(seed, n_windows, events_per=700):
+    rng = np.random.default_rng(seed)
+    wins = []
+    t0 = 0.0
+    for _ in range(n_windows):
+        n = int(events_per * rng.uniform(0.5, 1.5))
+        ts = np.sort(rng.uniform(t0, t0 + 0.03, n))
+        wins.append({
+            "xs": rng.integers(0, W, n).astype(np.int16),
+            "ys": rng.integers(0, H, n).astype(np.int16),
+            "ts": ts,
+            "ps": rng.integers(0, 2, n).astype(np.uint8),  # on-disk {0,1}
+        })
+        t0 += 0.03
+    return wins
+
+
+def _push_all(engine, sid, wins, **kw):
+    return [engine.push(sid, w["xs"], w["ys"], w["ts"], w["ps"], **kw)
+            for w in wins]
+
+
+def test_engine_matches_chunked_offline_runner(model_params):
+    """Streaming one window per push == the offline chunked pipeline on the
+    same windows (state carry across dispatch boundaries is exact)."""
+    from evreal_tpu.data.packing import pack_windows  # noqa: F401 (doc)
+    from evreal_tpu.harness.runner import MethodRunner
+
+    model, params = model_params
+    wins = _windows(0, 5)
+
+    engine = ReconEngine(model, params, event_norm=True, post_norm="robust")
+    sid = engine.open_stream(H, W)
+    frames = _push_all(engine, sid, wins)
+
+    runner = MethodRunner(model, params, event_norm=True, post_norm="robust",
+                          height=H, width=W, num_bins=NBINS,
+                          chunk_t=len(wins))
+    cap = 2048
+    bufs = {"xs": np.zeros((len(wins), cap), np.int16),
+            "ys": np.zeros((len(wins), cap), np.int16),
+            "ts": np.zeros((len(wins), cap), np.float32),
+            "ps": np.zeros((len(wins), cap), np.int8),
+            "count": np.zeros((len(wins),), np.int32)}
+    for i, wnd in enumerate(wins):
+        n = len(wnd["xs"])
+        bufs["count"][i] = n
+        bufs["xs"][i, :n] = wnd["xs"]
+        bufs["ys"][i, :n] = wnd["ys"]
+        bufs["ts"][i, :n] = (wnd["ts"] - wnd["ts"][0]).astype(np.float32)
+        bufs["ps"][i, :n] = wnd["ps"].astype(np.int8) * 2 - 1
+    _, _, clipped = runner.run(runner.init_state(), bufs)
+    clipped = np.asarray(clipped)
+
+    for i, f in enumerate(frames):
+        np.testing.assert_allclose(f, clipped[i], rtol=0, atol=1e-6)
+
+
+def test_polarity_conventions_equivalent(model_params):
+    """{0,1} polarity input and explicit ±1 must reconstruct identically."""
+    model, params = model_params
+    wins = _windows(1, 2)
+    engine = ReconEngine(model, params, event_norm=True, post_norm="robust")
+
+    sid_a = engine.open_stream(H, W)
+    fa = _push_all(engine, sid_a, wins)
+    sid_b = engine.open_stream(H, W)
+    fb = [engine.push(sid_b, w["xs"], w["ys"], w["ts"],
+                      w["ps"].astype(np.int8) * 2 - 1) for w in wins]
+    for a, b in zip(fa, fb):
+        assert np.array_equal(a, b)
+
+
+def test_multi_stream_isolation_and_reset(model_params):
+    """Interleaved streams must match independent runs; reset must return a
+    stream to its fresh-state output."""
+    model, params = model_params
+    wins_a, wins_b = _windows(2, 3), _windows(3, 3)
+    engine = ReconEngine(model, params, event_norm=True, post_norm="robust")
+
+    sa, sb = engine.open_stream(H, W), engine.open_stream(H, W)
+    inter_a, inter_b = [], []
+    for wa, wb in zip(wins_a, wins_b):
+        inter_a.append(engine.push(sa, wa["xs"], wa["ys"], wa["ts"],
+                                   wa["ps"]))
+        inter_b.append(engine.push(sb, wb["xs"], wb["ys"], wb["ts"],
+                                   wb["ps"]))
+
+    solo = ReconEngine(model, params, event_norm=True, post_norm="robust")
+    ss = solo.open_stream(H, W)
+    solo_a = _push_all(solo, ss, wins_a)
+    for x, y in zip(inter_a, solo_a):
+        assert np.array_equal(x, y)
+
+    # reset: replay of wins_b from scratch must equal a fresh stream
+    engine.reset(sb)
+    replay = _push_all(engine, sb, wins_b)
+    sc = engine.open_stream(H, W)
+    fresh = _push_all(engine, sc, wins_b)
+    for x, y in zip(replay, fresh):
+        assert np.array_equal(x, y)
+
+    st = engine.stats()
+    assert st["streams"] == 3 and st["resolutions"] == [(H, W)]
+    engine.close(sa)
+    assert engine.stats()["streams"] == 2
+
+
+def test_u8_frames(model_params):
+    model, params = model_params
+    (wnd,) = _windows(4, 1)
+    engine = ReconEngine(model, params, event_norm=True, post_norm="robust")
+    sid = engine.open_stream(H, W)
+    f32 = engine.push(sid, wnd["xs"], wnd["ys"], wnd["ts"], wnd["ps"])
+    engine.reset(sid)
+    u8 = engine.push(sid, wnd["xs"], wnd["ys"], wnd["ts"], wnd["ps"],
+                     u8=True)
+    assert u8.dtype == np.uint8
+    assert np.array_equal(u8, np.round(np.clip(f32, 0, 1) * 255)
+                          .astype(np.uint8))
+
+
+def test_zero_event_window(model_params):
+    """An empty window must run (zero voxel grid, reference
+    dataset.py:59-75 semantics) and advance the recurrent state."""
+    model, params = model_params
+    engine = ReconEngine(model, params, event_norm=True, post_norm="robust")
+    sid = engine.open_stream(H, W)
+    e = np.array([], np.int16)
+    f = engine.push(sid, e, e, np.array([], np.float64), np.array([], np.int8))
+    assert f.shape == (H, W) and np.isfinite(f).all()
+
+
+def test_socket_roundtrip(model_params, tmp_path):
+    model, params = model_params
+    engine = ReconEngine(model, params, event_norm=True, post_norm="robust")
+    path = str(tmp_path / "serve.sock")
+    server = ReconServer(engine, path)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        wins = _windows(5, 2)
+        client = ReconClient(path)
+        sid = client.open_stream(H, W)
+        got = [client.push(sid, w["xs"], w["ys"], w["ts"], w["ps"])
+               for w in wins]
+
+        ref_engine = ReconEngine(model, params, event_norm=True,
+                                 post_norm="robust")
+        rid = ref_engine.open_stream(H, W)
+        want = _push_all(ref_engine, rid, wins)
+        for g, w_ in zip(got, want):
+            assert np.array_equal(g, w_)
+
+        st = client.stats()
+        assert st["streams"] == 1 and st["frames"] == 2
+
+        # error path: bad sid reports, connection survives
+        with pytest.raises(RuntimeError):
+            client.push(999, wins[0]["xs"], wins[0]["ys"], wins[0]["ts"],
+                        wins[0]["ps"])
+        client.reset(sid)
+        client.close_stream(sid)
+        assert client.stats()["streams"] == 0
+        client.close()
+    finally:
+        server.shutdown()
+        server.server_close()
