@@ -165,8 +165,16 @@ def niqe(img, mu_pris, cov_pris):
         # yields NaN here, which the tracker's NaN filtering then drops
         # (reference semantics, utils/eval_metrics.py:51) — match that.
         return float("nan")
-    mu_d = np.nanmean(feats, axis=0)
-    cov_d = np.cov(feats, rowvar=False)
+    import warnings
+
+    with warnings.catch_warnings():
+        # a NaN input frame makes whole feature columns NaN; nanmean then
+        # warns "Mean of empty slice" on its way to the NaN result that
+        # the tracker's filtering drops (reference semantics) — the
+        # warning is expected noise for that contained case
+        warnings.simplefilter("ignore", RuntimeWarning)
+        mu_d = np.nanmean(feats, axis=0)
+        cov_d = np.cov(feats, rowvar=False)
     pooled = (cov_pris + cov_d) / 2.0
     d = mu_pris - mu_d
     inv = np.linalg.pinv(pooled)
