@@ -84,6 +84,16 @@ class _Stream:
         self.frames = 0
 
 
+class _Group:
+    __slots__ = ("runner", "state", "n", "frames")
+
+    def __init__(self, runner, n):
+        self.runner = runner
+        self.state = runner.init_state()
+        self.n = n
+        self.frames = 0
+
+
 class ReconEngine:
     """Resident single-method serving engine; thread-safe via one lock
     (JAX dispatch itself is serialized per process anyway)."""
@@ -96,8 +106,9 @@ class ReconEngine:
         self.post_norm = post_norm
         self.num_bins = num_bins if num_bins is not None else model.num_bins
         self.chunk_t = chunk_t
-        self._runners = {}   # (h, w) -> MethodRunner
+        self._runners = {}   # (h, w) -> MethodRunner; group keys -> Batched
         self._streams = {}   # sid -> _Stream
+        self._groups = {}    # gid -> _Group
         self._next_sid = 1
         self._lock = threading.Lock()
 
@@ -168,6 +179,74 @@ class ReconEngine:
             st.state = st.runner.init_state()
             st.frames = 0
 
+    # -- lockstep group serving (throughput mode) ------------------------
+    # N streams that share a frame clock (e.g. synchronized cameras, or a
+    # sweep over recordings) advance together through one BatchedRunner
+    # dispatch: the MXU sees N-fold larger ops and per-dispatch overhead
+    # amortizes N-fold — the same lockstep axis as the offline batched
+    # eval (harness/batched.py), measured 6-7x aggregate over single
+    # streams on one chip (BASELINE.md). Every push_group advances ALL
+    # lanes; a lane with no new events passes an empty window (zero voxel
+    # grid — identical to the offline empty-window semantics).
+
+    def open_group(self, n, height, width):
+        """Register n lockstep streams; returns gid."""
+        from evreal_tpu.harness.batched import BatchedRunner
+
+        with self._lock:
+            key = ("group", int(n), int(height), int(width))
+            runner = self._runners.get(key)
+            if runner is None:
+                runner = BatchedRunner(
+                    self.model, self.params, event_norm=self.event_norm,
+                    post_norm=self.post_norm, height=int(height),
+                    width=int(width), num_bins=self.num_bins, n=int(n),
+                    chunk_t=self.chunk_t)
+                self._runners[key] = runner
+            gid = self._next_sid
+            self._next_sid += 1
+            self._groups[gid] = _Group(runner, int(n))
+            return gid
+
+    def push_group(self, gid, windows, *, u8=False):
+        """Feed one window per lane (a list of n ``(xs, ys, ts, ps)``
+        tuples, or None for an empty window); returns the n reconstructed
+        frames as an (n, H, W) array."""
+        with self._lock:
+            g = self._groups.get(gid)
+            if g is None:
+                raise KeyError(f"unknown group id {gid}")
+            if len(windows) != g.n:
+                raise ValueError(
+                    f"group {gid} has {g.n} lanes, got {len(windows)}")
+            empty = (np.array([], np.int16), np.array([], np.int16),
+                     np.array([], np.float64), np.array([], np.int8))
+            wins = [w if w is not None else empty for w in windows]
+            cap = bucket_capacity(max((len(w[0]) for w in wins), default=0),
+                                  _MIN_SERVE_CAPACITY)
+            rows = [_pack_window(*w, capacity=cap) for w in wins]
+            # each row is (T=1, E) / count (1,); stack to (N, T=1, E) and
+            # count (N, T=1) — the BatchedRunner's buffer contract
+            bufs = {k: np.stack([r[k] for r in rows])
+                    for k in ("xs", "ys", "ts", "ps", "count")}
+            state, _, clipped = g.runner.run(g.state, bufs)
+            g.state = state
+            g.frames += g.n
+            out = clipped[:, 0]
+            if u8:
+                out = g.runner.quantize_u8(out)
+            return np.asarray(out)
+
+    def reset_group(self, gid):
+        with self._lock:
+            g = self._groups[gid]
+            g.state = g.runner.init_state()
+            g.frames = 0
+
+    def close_group(self, gid):
+        with self._lock:
+            self._groups.pop(gid, None)
+
     def close(self, sid):
         with self._lock:
             self._streams.pop(sid, None)
@@ -175,8 +254,11 @@ class ReconEngine:
     def stats(self):
         with self._lock:
             return {"streams": len(self._streams),
-                    "resolutions": sorted(self._runners),
-                    "frames": sum(s.frames for s in self._streams.values())}
+                    "groups": sorted((g.n for g in self._groups.values())),
+                    "resolutions": sorted(k for k in self._runners
+                                          if k[0] != "group"),
+                    "frames": sum(s.frames for s in self._streams.values())
+                    + sum(g.frames for g in self._groups.values())}
 
 
 # ---------------------------------------------------------------------------
@@ -249,6 +331,24 @@ class _Handler(socketserver.StreamRequestHandler):
                 elif op == "close":
                     engine.close(header["sid"])
                     _send(self.wfile, {"ok": True})
+                elif op == "open_group":
+                    gid = engine.open_group(header["n"], header["height"],
+                                            header["width"])
+                    _send(self.wfile, {"ok": True, "gid": gid})
+                elif op == "push_group":
+                    n = int(header["n"])
+                    wins = [tuple(arrays[4 * i:4 * i + 4])
+                            for i in range(n)]
+                    frames = engine.push_group(
+                        header["gid"], wins,
+                        u8=bool(header.get("u8", False)))
+                    _send(self.wfile, {"ok": True}, [frames])
+                elif op == "reset_group":
+                    engine.reset_group(header["gid"])
+                    _send(self.wfile, {"ok": True})
+                elif op == "close_group":
+                    engine.close_group(header["gid"])
+                    _send(self.wfile, {"ok": True})
                 elif op == "stats":
                     _send(self.wfile, {"ok": True, **engine.stats()})
                 else:
@@ -312,6 +412,32 @@ class ReconClient:
 
     def close_stream(self, sid):
         self._call({"op": "close", "sid": sid})
+
+    def open_group(self, n, height, width):
+        resp, _ = self._call({"op": "open_group", "n": int(n),
+                              "height": int(height), "width": int(width)})
+        return resp["gid"]
+
+    def push_group(self, gid, windows, u8=False):
+        """``windows``: n ``(xs, ys, ts, ps)`` tuples (None = empty
+        window); returns the (n, H, W) frames."""
+        arrays = []
+        for w in windows:
+            if w is None:
+                w = (np.array([], np.int16), np.array([], np.int16),
+                     np.array([], np.float64), np.array([], np.int8))
+            arrays += [np.asarray(w[0]), np.asarray(w[1]),
+                       np.asarray(w[2], np.float64), np.asarray(w[3])]
+        _, payload = self._call(
+            {"op": "push_group", "gid": gid, "n": len(windows),
+             "u8": bool(u8)}, arrays)
+        return payload[0]
+
+    def reset_group(self, gid):
+        self._call({"op": "reset_group", "gid": gid})
+
+    def close_group(self, gid):
+        self._call({"op": "close_group", "gid": gid})
 
     def stats(self):
         resp, _ = self._call({"op": "stats"})

@@ -151,6 +151,47 @@ def test_zero_event_window(model_params):
     assert f.shape == (H, W) and np.isfinite(f).all()
 
 
+def test_group_matches_single_streams(model_params):
+    """Lockstep group serving (throughput mode) must reconstruct each lane
+    exactly as a solo stream fed the same windows; empty lanes must match
+    a solo stream fed an empty window."""
+    model, params = model_params
+    lanes = [_windows(10, 3), _windows(11, 3), _windows(12, 3)]
+    engine = ReconEngine(model, params, event_norm=True, post_norm="robust")
+
+    gid = engine.open_group(3, H, W)
+    got = []
+    for t in range(3):
+        wins = [lanes[j][t] for j in range(3)]
+        if t == 1:
+            wins[2] = None  # lane 2 idles this tick
+        got.append(engine.push_group(
+            gid, [None if w is None else (w["xs"], w["ys"], w["ts"],
+                                          w["ps"]) for w in wins]))
+
+    e = np.array([], np.int16)
+    for j in range(3):
+        sid = engine.open_stream(H, W)
+        for t in range(3):
+            w = lanes[j][t]
+            if t == 1 and j == 2:
+                solo = engine.push(sid, e, e, np.array([], np.float64),
+                                   np.array([], np.int8))
+            else:
+                solo = engine.push(sid, w["xs"], w["ys"], w["ts"], w["ps"])
+            # batch-N conv programs accumulate in a different order than
+            # batch-1 (XLA algorithm choice); the offline batched path
+            # shows the same ~1e-4 pixel-level spread (test_batched_eval
+            # compares scores at 1e-5, txt rows at 5 decimals)
+            np.testing.assert_allclose(got[t][j], solo, rtol=0, atol=5e-4)
+
+    engine.reset_group(gid)
+    st = engine.stats()
+    assert st["groups"] == [3]
+    engine.close_group(gid)
+    assert engine.stats()["groups"] == []
+
+
 def test_socket_roundtrip(model_params, tmp_path):
     model, params = model_params
     engine = ReconEngine(model, params, event_norm=True, post_norm="robust")
@@ -182,6 +223,17 @@ def test_socket_roundtrip(model_params, tmp_path):
         client.reset(sid)
         client.close_stream(sid)
         assert client.stats()["streams"] == 0
+
+        # group ops over the wire: 2 lanes, lane 1 idle, equals in-process
+        gid = client.open_group(2, H, W)
+        w0 = wins[0]
+        frames = client.push_group(
+            gid, [(w0["xs"], w0["ys"], w0["ts"], w0["ps"]), None])
+        g2 = ref_engine.open_group(2, H, W)
+        want_g = ref_engine.push_group(
+            g2, [(w0["xs"], w0["ys"], w0["ts"], w0["ps"]), None])
+        assert np.array_equal(frames, want_g)
+        client.close_group(gid)
         client.close()
     finally:
         server.shutdown()
