@@ -235,6 +235,22 @@ def test_socket_roundtrip(model_params, tmp_path):
         assert np.array_equal(frames, want_g)
         client.close_group(gid)
         client.close()
+
+        # protocol robustness: an unknown op gets an error response and
+        # the connection survives; a non-JSON line breaks framing, so the
+        # server must drop that connection (not the process) and keep
+        # serving new ones
+        c2 = ReconClient(path)
+        with pytest.raises(RuntimeError, match="unknown op"):
+            c2._call({"op": "bogus"})
+        assert c2.stats()["streams"] == 0  # same connection still works
+        c2._f.write(b"not json\n")
+        c2._f.flush()
+        with pytest.raises((ConnectionError, OSError)):
+            c2.stats()
+        c3 = ReconClient(path)
+        assert c3.stats()["streams"] == 0
+        c3.close()
     finally:
         server.shutdown()
         server.server_close()
