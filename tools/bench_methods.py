@@ -193,9 +193,24 @@ def main():
     enable_compile_cache()  # shared persistent compile cache (see bench.py)
 
     print(f"backend: {jax.default_backend()}", flush=True)
+    # batch-1 latency scales almost linearly with the small-op dispatch
+    # axis (bench.py op_latency_probe), which drifts within minutes and is
+    # invisible to the MXU/HBM probes — stamp it so any recorded table is
+    # interpretable (BASELINE.md "third independent axis")
+    if jax.default_backend() == "tpu":
+        sys.path.insert(0, _REPO)
+        from bench import HEALTHY_OP_LATENCY_US, op_latency_probe
+
+        op_us = op_latency_probe()
+        print(f"probe_op_latency_us: {op_us:.1f} "
+              f"(healthy ~{HEALTHY_OP_LATENCY_US:.0f})", flush=True)
+    else:
+        op_us = None
     with tempfile.TemporaryDirectory() as root:
         paths = make_full_size_checkpoints(root, args.methods)
         results = {}
+        if op_us is not None:
+            results["probe_op_latency_us"] = round(op_us, 1)
         for method in args.methods:
             if method not in paths:
                 print(f"{method}: no checkpoint available", flush=True)
