@@ -40,26 +40,40 @@ import threading
 
 import numpy as np
 
+from evreal_tpu.data.packing import _MIN_CAPACITY as _MIN_PACK_CAPACITY
 from evreal_tpu.data.packing import bucket_capacity
 
-_MIN_SERVE_CAPACITY = 2048
+_MIN_SERVE_CAPACITY = _MIN_PACK_CAPACITY
+# per-fetch ceiling for device->host frame transfers: large single
+# np.asarray fetches have been observed crawling and wedging the tunnel's
+# transfer path (CLAUDE.md: ~10 MB per-chunk fetches are the practical
+# ceiling; a 256 MB fetch wedged the backend for ~15 min)
+_FETCH_BYTES = 8 * 1024 * 1024
 
 
-def _pack_window(xs, ys, ts, ps, capacity=None):
+def _empty_window(float_coords=False):
+    dt = np.float32 if float_coords else np.int16
+    return (np.array([], dt), np.array([], dt),
+            np.array([], np.float64), np.array([], np.int8))
+
+
+def _pack_window(xs, ys, ts, ps, capacity=None, float_coords=False):
     """One event window -> the runner's (T=1, E) packed buffers.
 
     ``ts`` may be absolute (zero-based here, float64 before the f32
     narrowing — same precision order as data/packing.py); ``ps`` may be
     the on-disk {0,1} or already ±1 (0 maps to -1, reference
-    dataset.py:227).
+    dataset.py:227). The coordinate dtype is fixed per stream at open time
+    (``float_coords``), NOT inferred per push — an inferred dtype would
+    flip the jit signature between pushes (e.g. an empty Python list
+    packs float64) and each flip costs a fresh multi-minute compile on a
+    degraded chip.
     """
     n = len(xs)
     cap = capacity or bucket_capacity(n, _MIN_SERVE_CAPACITY)
     if cap < n:
         raise ValueError(f"window of {n} events exceeds capacity {cap}")
-    xs = np.asarray(xs)
-    int_coords = np.issubdtype(xs.dtype, np.integer)
-    xy_dtype = np.int16 if int_coords else np.float32
+    xy_dtype = np.float32 if float_coords else np.int16
     out = {"xs": np.zeros((1, cap), xy_dtype),
            "ys": np.zeros((1, cap), xy_dtype),
            "ts": np.zeros((1, cap), np.float32),
@@ -75,23 +89,37 @@ def _pack_window(xs, ys, ts, ps, capacity=None):
     return out
 
 
-class _Stream:
-    __slots__ = ("runner", "state", "frames")
+def _fetch(dev):
+    """Device->host fetch of an (..., H, W) frame array in slices of at
+    most ``_FETCH_BYTES`` along the leading axis (see _FETCH_BYTES).
+    Returns a writable array: ``np.asarray`` of a jax array is a
+    read-only view, and callers reasonably draw overlays in place."""
+    if dev.ndim == 2 or dev.nbytes <= _FETCH_BYTES:
+        return np.array(dev)
+    per = max(1, int(_FETCH_BYTES // max(dev.nbytes // dev.shape[0], 1)))
+    return np.concatenate([np.asarray(dev[i:i + per])
+                           for i in range(0, dev.shape[0], per)])
 
-    def __init__(self, runner):
+
+class _Stream:
+    __slots__ = ("runner", "state", "frames", "float_coords")
+
+    def __init__(self, runner, float_coords):
         self.runner = runner
         self.state = runner.init_state()
         self.frames = 0
+        self.float_coords = float_coords
 
 
 class _Group:
-    __slots__ = ("runner", "state", "n", "frames")
+    __slots__ = ("runner", "state", "n", "frames", "float_coords")
 
-    def __init__(self, runner, n):
+    def __init__(self, runner, n, float_coords):
         self.runner = runner
         self.state = runner.init_state()
         self.n = n
         self.frames = 0
+        self.float_coords = float_coords
 
 
 class ReconEngine:
@@ -110,6 +138,7 @@ class ReconEngine:
         self._streams = {}   # sid -> _Stream
         self._groups = {}    # gid -> _Group
         self._next_sid = 1
+        self._total_frames = 0
         self._lock = threading.Lock()
 
     @classmethod
@@ -143,13 +172,16 @@ class ReconEngine:
             self._runners[key] = r
         return r
 
-    def open_stream(self, height, width):
-        """Register a camera stream at a sensor resolution; returns sid."""
+    def open_stream(self, height, width, float_coords=False):
+        """Register a camera stream at a sensor resolution; returns sid.
+        ``float_coords``: the stream carries fractional (sub-pixel) event
+        coordinates (BS-ERGB-style); fixed at open time so the compiled
+        program signature never flips between pushes."""
         with self._lock:
             runner = self._runner(height, width)
             sid = self._next_sid
             self._next_sid += 1
-            self._streams[sid] = _Stream(runner)
+            self._streams[sid] = _Stream(runner, bool(float_coords))
             return sid
 
     def _get(self, sid):
@@ -161,15 +193,22 @@ class ReconEngine:
     def push(self, sid, xs, ys, ts, ps, *, u8=False):
         """Feed one event window; returns the reconstructed frame (H, W)
         float32 in [0, 1] (or uint8 with ``u8=True`` — quantized on device,
-        4x fewer device->host bytes)."""
+        4x fewer device->host bytes).
+
+        The lock covers pack + dispatch + state swap (cheap, and it is
+        what keeps per-stream ordering); the device->host frame fetch —
+        the slow part on a tunnel — happens outside it, so other streams'
+        dispatches overlap this stream's fetch."""
         with self._lock:
             st = self._get(sid)
-            bufs = _pack_window(xs, ys, ts, ps)
+            bufs = _pack_window(xs, ys, ts, ps,
+                                float_coords=st.float_coords)
             state, _, clipped = st.runner.run(st.state, bufs)
             st.state = state
             st.frames += 1
+            self._total_frames += 1
             out = st.runner.quantize_u8(clipped[0]) if u8 else clipped[0]
-            return np.asarray(out)
+        return _fetch(out)
 
     def reset(self, sid):
         """Zero the stream's recurrent state (new sequence semantics —
@@ -189,29 +228,36 @@ class ReconEngine:
     # lanes; a lane with no new events passes an empty window (zero voxel
     # grid — identical to the offline empty-window semantics).
 
-    def open_group(self, n, height, width):
-        """Register n lockstep streams; returns gid."""
-        from evreal_tpu.harness.batched import BatchedRunner
+    def open_group(self, n, height, width, float_coords=False):
+        """Register n lockstep streams; returns gid. On a multi-device
+        host the lane axis shards over the eval mesh ('dp') like the
+        offline lockstep path, provided n divides over it."""
+        from evreal_tpu.harness.batched import BatchedRunner, get_eval_mesh
 
         with self._lock:
             key = ("group", int(n), int(height), int(width))
             runner = self._runners.get(key)
             if runner is None:
+                mesh = get_eval_mesh()
+                if mesh is not None and int(n) % mesh.shape["dp"] != 0:
+                    mesh = None  # lanes not dp-divisible: run unsharded
                 runner = BatchedRunner(
                     self.model, self.params, event_norm=self.event_norm,
                     post_norm=self.post_norm, height=int(height),
                     width=int(width), num_bins=self.num_bins, n=int(n),
-                    chunk_t=self.chunk_t)
+                    chunk_t=self.chunk_t, mesh=mesh)
                 self._runners[key] = runner
             gid = self._next_sid
             self._next_sid += 1
-            self._groups[gid] = _Group(runner, int(n))
+            self._groups[gid] = _Group(runner, int(n), bool(float_coords))
             return gid
 
     def push_group(self, gid, windows, *, u8=False):
         """Feed one window per lane (a list of n ``(xs, ys, ts, ps)``
         tuples, or None for an empty window); returns the n reconstructed
-        frames as an (n, H, W) array."""
+        frames as an (n, H, W) array. The frame fetch happens outside the
+        engine lock, in slices bounded by ``_FETCH_BYTES`` (one huge
+        device->host fetch can wedge the tunnel's transfer path)."""
         with self._lock:
             g = self._groups.get(gid)
             if g is None:
@@ -219,23 +265,25 @@ class ReconEngine:
             if len(windows) != g.n:
                 raise ValueError(
                     f"group {gid} has {g.n} lanes, got {len(windows)}")
-            empty = (np.array([], np.int16), np.array([], np.int16),
-                     np.array([], np.float64), np.array([], np.int8))
+            empty = _empty_window(g.float_coords)
             wins = [w if w is not None else empty for w in windows]
             cap = bucket_capacity(max((len(w[0]) for w in wins), default=0),
                                   _MIN_SERVE_CAPACITY)
-            rows = [_pack_window(*w, capacity=cap) for w in wins]
+            rows = [_pack_window(*w, capacity=cap,
+                                 float_coords=g.float_coords) for w in wins]
             # each row is (T=1, E) / count (1,); stack to (N, T=1, E) and
             # count (N, T=1) — the BatchedRunner's buffer contract
             bufs = {k: np.stack([r[k] for r in rows])
                     for k in ("xs", "ys", "ts", "ps", "count")}
             state, _, clipped = g.runner.run(g.state, bufs)
             g.state = state
-            g.frames += g.n
+            served = sum(1 for w in windows if w is not None)
+            g.frames += served
+            self._total_frames += served
             out = clipped[:, 0]
             if u8:
                 out = g.runner.quantize_u8(out)
-            return np.asarray(out)
+        return _fetch(out)
 
     def reset_group(self, gid):
         with self._lock:
@@ -257,8 +305,10 @@ class ReconEngine:
                     "groups": sorted((g.n for g in self._groups.values())),
                     "resolutions": sorted(k for k in self._runners
                                           if k[0] != "group"),
-                    "frames": sum(s.frames for s in self._streams.values())
-                    + sum(g.frames for g in self._groups.values())}
+                    # monotonic engine-lifetime counter: closing a stream
+                    # must not make a monitoring dashboard go backwards,
+                    # and idle (None) group lanes are not served frames
+                    "frames": self._total_frames}
 
 
 # ---------------------------------------------------------------------------
@@ -300,7 +350,10 @@ def _recv(fobj):
         shape = tuple(m["shape"])
         count = int(np.prod(shape, dtype=np.int64))
         buf = _read_exact(fobj, count * dt.itemsize)
-        arrays.append(np.frombuffer(buf, dt).reshape(shape))
+        # bytearray: np.frombuffer over bytes yields read-only arrays, and
+        # a client must get the same writable frames the in-process API
+        # returns
+        arrays.append(np.frombuffer(bytearray(buf), dt).reshape(shape))
     return header, arrays
 
 
@@ -317,8 +370,10 @@ class _Handler(socketserver.StreamRequestHandler):
             try:
                 op = header["op"]
                 if op == "open":
-                    sid = engine.open_stream(header["height"],
-                                             header["width"])
+                    sid = engine.open_stream(
+                        header["height"], header["width"],
+                        float_coords=bool(header.get("float_coords",
+                                                     False)))
                     _send(self.wfile, {"ok": True, "sid": sid})
                 elif op == "push":
                     xs, ys, ts, ps = arrays
@@ -332,8 +387,10 @@ class _Handler(socketserver.StreamRequestHandler):
                     engine.close(header["sid"])
                     _send(self.wfile, {"ok": True})
                 elif op == "open_group":
-                    gid = engine.open_group(header["n"], header["height"],
-                                            header["width"])
+                    gid = engine.open_group(
+                        header["n"], header["height"], header["width"],
+                        float_coords=bool(header.get("float_coords",
+                                                     False)))
                     _send(self.wfile, {"ok": True, "gid": gid})
                 elif op == "push_group":
                     n = int(header["n"])
@@ -373,7 +430,19 @@ class ReconServer(socketserver.ThreadingUnixStreamServer):
 
     def __init__(self, engine, path):
         if os.path.exists(path):
-            os.unlink(path)
+            # only remove a STALE socket: silently unlinking a live one
+            # would hijack a running server's address while it keeps
+            # serving its existing connections
+            probe = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            try:
+                probe.connect(path)
+            except OSError:
+                os.unlink(path)  # nobody listening: stale
+            else:
+                probe.close()
+                raise OSError(f"{path}: a server is already listening")
+            finally:
+                probe.close()
         super().__init__(path, _Handler)
         self.engine = engine
 
@@ -395,9 +464,10 @@ class ReconClient:
             raise RuntimeError(resp.get("error", "server error"))
         return resp, payload
 
-    def open_stream(self, height, width):
+    def open_stream(self, height, width, float_coords=False):
         resp, _ = self._call({"op": "open", "height": int(height),
-                              "width": int(width)})
+                              "width": int(width),
+                              "float_coords": bool(float_coords)})
         return resp["sid"]
 
     def push(self, sid, xs, ys, ts, ps, u8=False):
@@ -413,9 +483,10 @@ class ReconClient:
     def close_stream(self, sid):
         self._call({"op": "close", "sid": sid})
 
-    def open_group(self, n, height, width):
+    def open_group(self, n, height, width, float_coords=False):
         resp, _ = self._call({"op": "open_group", "n": int(n),
-                              "height": int(height), "width": int(width)})
+                              "height": int(height), "width": int(width),
+                              "float_coords": bool(float_coords)})
         return resp["gid"]
 
     def push_group(self, gid, windows, u8=False):
@@ -424,8 +495,7 @@ class ReconClient:
         arrays = []
         for w in windows:
             if w is None:
-                w = (np.array([], np.int16), np.array([], np.int16),
-                     np.array([], np.float64), np.array([], np.int8))
+                w = _empty_window()
             arrays += [np.asarray(w[0]), np.asarray(w[1]),
                        np.asarray(w[2], np.float64), np.asarray(w[3])]
         _, payload = self._call(
@@ -441,7 +511,7 @@ class ReconClient:
 
     def stats(self):
         resp, _ = self._call({"op": "stats"})
-        return {k: v for k, v in resp.items() if k != "ok"}
+        return {k: v for k, v in resp.items() if k not in ("ok", "meta")}
 
     def close(self):
         try:

@@ -234,6 +234,19 @@ def test_socket_roundtrip(model_params, tmp_path):
             g2, [(w0["xs"], w0["ys"], w0["ts"], w0["ps"]), None])
         assert np.array_equal(frames, want_g)
         client.close_group(gid)
+
+        # review regressions: client frames are writable (the in-process
+        # API returns writable arrays; np.frombuffer over bytes is not);
+        # stats has no protocol-framing keys; the frame counter is
+        # engine-lifetime monotonic (closing a stream must not make a
+        # dashboard go backwards)
+        got[0] *= 0.5
+        assert "meta" not in st
+        assert client.stats()["frames"] >= 2
+
+        # a second server on a LIVE socket path must refuse, not hijack
+        with pytest.raises(OSError, match="already listening"):
+            ReconServer(ref_engine, path)
         client.close()
 
         # protocol robustness: an unknown op gets an error response and
