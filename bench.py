@@ -21,6 +21,14 @@ self-diagnosis keys:
   and HBM clocks (measured 25x degraded while both compute probes read
   healthy, 2026-08-18) and governs batch-1 latency; the lockstep batched
   headline is insensitive to it.
+- ``host_load_1m`` / ``host_cpus`` / ``host_contended``: dispatch is
+  host-driven, so on this 1-core host any concurrent process inflates the
+  op-latency probe and the streamed (H2D-bound) headline — a probe taken
+  while the test suite ran read 464 us where the same chip state reads
+  tens solo. When ``host_contended`` is set, discount
+  ``probe_op_latency_us`` / ``op_latency_degraded`` and prefer
+  ``device_resident_fps``; the MXU/HBM probes (single long device
+  programs) are far less sensitive.
 - ``model_tflops_per_s`` / ``mfu_vs_bf16_peak``: achieved FLOP/s of the
   pipeline program (XLA cost analysis of the compiled chunk / measured
   chunk time) and its fraction of the device's bf16 peak — the number that
@@ -207,6 +215,25 @@ def op_latency_probe(repeats=3):
     return best / iters * 1e6
 
 
+def host_load_probe():
+    """1-minute load average, CPU count, and a contention flag. Probe and
+    headline dispatch run on the host CPU; on this 1-core machine a single
+    concurrent process (e.g. the test suite) inflates the op-latency probe
+    >10x with the chip untouched, so every capture records the host state
+    it was taken in."""
+    import os as _os
+
+    ncpu = _os.cpu_count() or 1
+    try:
+        load1 = _os.getloadavg()[0]
+    except OSError:  # platform without getloadavg
+        return {"host_cpus": ncpu}
+    # >~1.5 runnable tasks per CPU means this process measurably time-shares
+    return {"host_load_1m": round(load1, 2),
+            "host_cpus": ncpu,
+            "host_contended": load1 / ncpu > 1.5}
+
+
 def _backend_guard(seconds):
     """Self-diagnosis for an unreachable backend: the tunneled TPU client
     has been observed hanging indefinitely in init (backend wedged for
@@ -284,7 +311,8 @@ def main():
               "op_latency_degraded": probe_op_us > 5.0 * HEALTHY_OP_LATENCY_US,
               "probe_h2d_gbps": round(probe_h2d, 3),
               "healthy_h2d_gbps": HEALTHY_H2D_GBPS,
-              "throttled": throttled}
+              "throttled": throttled,
+              **host_load_probe()}
     if "--probe-only" in sys.argv:
         print(json.dumps(probes))
         return

@@ -25,6 +25,20 @@ def test_op_latency_probe_runs():
     assert 0.0 < us < 1e6
 
 
+def test_host_load_probe():
+    """Every bench capture stamps the host state it was taken in: on this
+    1-core host a concurrent process inflates the op-latency probe >10x
+    with the chip untouched, so the JSON must let a reader discount it."""
+    import bench
+
+    info = bench.host_load_probe()
+    assert info["host_cpus"] >= 1
+    if "host_load_1m" in info:  # getloadavg available (Linux: always)
+        assert info["host_load_1m"] >= 0.0
+        assert info["host_contended"] == (
+            info["host_load_1m"] / info["host_cpus"] > 1.5)
+
+
 def test_backend_guard_fires_in_subprocess():
     """Un-cancelled, the guard prints the error JSON and exits 3 — the
     driver records a self-describing artifact instead of hanging."""
