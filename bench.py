@@ -7,6 +7,14 @@ sequences evaluated in lockstep as one scanned batch (the reference can only
 process sequences serially; batching is this framework's TPU scaling axis,
 harness/batched.py). Reported fps is aggregate frames/second of wall-clock.
 
+The headline streams event buffers host->device per chunk on the **compact
+wire** (data/packing.py: uint16 window-normalized timestamps + uint8
+coordinates, 5 bytes/event vs 9 for the strict-f32 wire) — the production
+serving configuration, like the scan unroll below. Score drift vs the f32
+wire is <1e-7 MSE/SSIM (measured 3.9e-9/6.2e-8) (tests/test_wire_compact.py), far inside the 1e-3
+parity budget; the strict-parity CLI default remains EVREAL_WIRE=f32, and
+``f32_wire_fps`` reports the same streamed loop on that wire.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...} plus
 self-diagnosis keys:
 
@@ -326,7 +334,7 @@ def main():
 
     rng = np.random.default_rng(0)
     cap = 32768
-    # compact packed dtypes, as emitted by data/packing.py
+    # f32 (strict-parity) wire dtypes, as emitted by data/packing.py
     buffers = {
         "xs": rng.integers(0, w, (BATCH_N, CHUNK_T, cap)).astype(np.int16),
         "ys": rng.integers(0, h, (BATCH_N, CHUNK_T, cap)).astype(np.int16),
@@ -337,34 +345,49 @@ def main():
         "count": np.full((BATCH_N, CHUNK_T), n_events, np.int32),
     }
     buffers["ts"] -= buffers["ts"][:, :, :1]
+    # compact wire (the serving headline): u16 window-normalized ts
+    # fractions + u8 coords — 5 bytes/event on the tunnel instead of 9
+    # (the streamed loop is H2D-bound in the post-compute tunnel state)
+    dt_w = buffers["ts"][:, :, n_events - 1:n_events]  # window spans
+    compact = {
+        "xs": buffers["xs"].astype(np.uint8),
+        "ys": buffers["ys"].astype(np.uint8),
+        "ts": np.clip(np.rint(buffers["ts"] * (65535.0 / dt_w)),
+                      0, 65535).astype(np.uint16),
+        "ps": buffers["ps"],
+        "count": buffers["count"],
+    }
+
+    def measure_streamed(state, bufs, reps=3, iters=4):
+        # steady state: async-chained chunks (the eval loop's pipelined
+        # pattern), best-of-reps to shed axon-tunnel scheduling noise. The
+        # fence is a device scalar fetch: through the axon tunnel
+        # block_until_ready has been observed returning before execution
+        # finishes, a value fetch has not.
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                state, imgs, _ = runner.run(state, bufs)
+            float(imgs.sum())
+            best = min(best, (time.perf_counter() - t0)
+                       / (iters * CHUNK_T * BATCH_N))
+        return state, 1.0 / best
 
     state = runner.init_state()
     # warmup / compile (incl. the scalar-fence reduction)
-    state, imgs, _ = runner.run(state, buffers)
+    state, imgs, _ = runner.run(state, compact)
     float(imgs.sum())
-
-    # steady state: async-chained chunks (the eval loop's pipelined pattern),
-    # best of 3 to shed axon-tunnel scheduling noise. The fence is a device
-    # scalar fetch: through the axon tunnel block_until_ready has been
-    # observed returning before execution finishes, a value fetch has not.
-    iters = 4
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            state, imgs, _ = runner.run(state, buffers)
-        float(imgs.sum())
-        best = min(best,
-                   (time.perf_counter() - t0) / (iters * CHUNK_T * BATCH_N))
-
-    fps = 1.0 / best
+    state, fps = measure_streamed(state, compact)
 
     # device-resident variant: same program, event buffers pre-staged in
     # HBM. Separates the pipeline from the axon tunnel's host->device path
-    # (184 MB/chunk; production H2D rides PCIe with double-buffering, the
-    # tunnel has been measured from 0.84 GB/s down to ~30 MB/s) — the
-    # spread between the two numbers IS the tunnel artifact.
-    dev_bufs = {k: jax.device_put(v) for k, v in buffers.items()}
+    # (84 MB/chunk on the compact wire; production H2D rides PCIe with
+    # double-buffering, the tunnel has been measured from 0.84 GB/s down
+    # to ~30 MB/s) — the spread between the two numbers IS the tunnel
+    # artifact.
+    iters = 4
+    dev_bufs = {k: jax.device_put(v) for k, v in compact.items()}
     jax.block_until_ready(dev_bufs)
     best_dev = float("inf")
     for _ in range(3):
@@ -375,14 +398,29 @@ def main():
         best_dev = min(best_dev, (time.perf_counter() - t0)
                        / (iters * CHUNK_T * BATCH_N))
 
+    wire_mb = sum(v.nbytes for v in compact.values()) / 1e6
     out = {
         "metric": "e2vid_recon_fps_ecd_b16",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / REF_BASELINE_FPS, 2),
+        "wire": "compact",
+        "wire_mb_per_chunk": round(wire_mb, 1),
         "device_resident_fps": round(1.0 / best_dev, 2),
         **probes,
     }
+
+    # the same streamed loop on the strict-parity f32 wire (9 bytes/event):
+    # quantifies what the compact wire buys on this tunnel. Optional — it
+    # costs a second compile of the pipeline at the f32-wire signature.
+    try:
+        state_f = runner.init_state()
+        state_f, imgs_f, _ = runner.run(state_f, buffers)  # compile+warm
+        float(imgs_f.sum())
+        _, f32_fps = measure_streamed(state_f, buffers)
+        out["f32_wire_fps"] = round(f32_fps, 2)
+    except Exception:  # noqa: BLE001 — optional diagnostic, never fatal
+        pass
 
     # bf16 serving mode (EVREAL_DTYPE=bfloat16, ~1e-2 image accuracy
     # tradeoff — README): the throughput ceiling when strict f32 parity
@@ -409,7 +447,7 @@ def main():
         pass
     finally:
         os.environ.pop("EVREAL_DTYPE", None)
-    flops_chunk, _ = runner.cost_analysis(state, buffers)
+    flops_chunk, _ = runner.cost_analysis(state, compact)
     if flops_chunk:
         from evreal_tpu.utils.mfu import mfu
 

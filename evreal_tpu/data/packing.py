@@ -19,13 +19,59 @@ numpy fallback produces bit-identical buffers.
 
 Timestamps are zero-based per window and cast to float32 *after* the shift,
 preserving the reference's precision behavior (dataset.py:56).
+
+Two wire formats (``wire_dtypes``):
+
+* ``f32`` (default) — the layout above; voxel timestamps bit-match the
+  reference's float32 math, so golden-score files reproduce exactly.
+* ``compact`` — timestamps as uint16 window-normalized fractions
+  ``q = rint((ts - ts0) / dt * 65535)`` with the degenerate dt < 1e-9
+  linspace (event_utils.py:48-49) encoded host-side, and uint8 coordinates
+  when the sensor fits (h, w <= 255; out-of-range values park at the 255
+  sentinel, which the device's bounds guard drops). 5 bytes/event on the
+  wire instead of 9 — the streamed eval loop is host->device-bound on this
+  tunnel, so wire bytes are throughput. Worst-case voxel perturbation is
+  ~3e-5 per event weight (ops/voxelize.U16_TS_SCALE note); end-to-end score
+  drift is measured in tests/test_wire_compact.py. Select with
+  ``EVREAL_WIRE=compact``; the default stays f32 for strict parity.
 """
+
+import os
 
 import numpy as np
 
 from evreal_tpu import native
 
 _MIN_CAPACITY = 2048
+U16_TS_SCALE = 65535.0
+
+
+def wire_format():
+    """Active wire format: ``EVREAL_WIRE`` in {f32, compact}, default f32."""
+    wire = os.environ.get("EVREAL_WIRE", "f32")
+    if wire not in ("f32", "compact"):
+        raise ValueError(f"EVREAL_WIRE must be 'f32' or 'compact': {wire!r}")
+    return wire
+
+
+def wire_dtypes(wire, int_coords, resolution=None):
+    """Buffer dtypes {xs, ys, ts, ps, count} for a wire format.
+
+    ``int_coords``: whether the on-disk coordinates are integral (fractional
+    BS-ERGB-style coords always travel as float32, preserving the
+    truncate-toward-zero semantics on device). ``resolution``: (h, w); uint8
+    coordinates need h, w <= 255 so the 255 out-of-range sentinel stays
+    outside the sensor.
+    """
+    xy = np.int16 if int_coords else np.float32
+    ts = np.float32
+    if wire == "compact":
+        ts = np.uint16
+        if int_coords and resolution is not None:
+            h, w = resolution
+            if h <= 255 and w <= 255:
+                xy = np.uint8
+    return {"xs": xy, "ys": xy, "ts": ts, "ps": np.int8, "count": np.int32}
 
 
 def bucket_capacity(max_count, minimum=_MIN_CAPACITY):
@@ -35,19 +81,17 @@ def bucket_capacity(max_count, minimum=_MIN_CAPACITY):
     return cap
 
 
-def outlier_buffers(shape_prefix, chunk_max, xy_dtype):
+def outlier_buffers(shape_prefix, chunk_max, dtypes):
     """One-off zeroed event buffers for a chunk whose max event count
     exceeds the pool capacity chosen by ``plan_capacity`` (the rare
     escalation path shared by the single-sequence and lockstep-group
-    runners). ``shape_prefix``: leading dims, e.g. ``(T,)`` or ``(N, T)``.
-    Returns ``(capacity, buffers)`` with the same keys/dtypes the packers
-    expect; zeroed so tail slots read as no-event padding."""
+    runners). ``shape_prefix``: leading dims, e.g. ``(T,)`` or ``(N, T)``;
+    ``dtypes``: per-key dtypes from ``wire_dtypes``. Returns
+    ``(capacity, buffers)`` zeroed so tail slots read as no-event padding."""
     cap_c = bucket_capacity(chunk_max)
-    bufs = {"xs": np.zeros(shape_prefix + (cap_c,), xy_dtype),
-            "ys": np.zeros(shape_prefix + (cap_c,), xy_dtype),
-            "ts": np.zeros(shape_prefix + (cap_c,), np.float32),
-            "ps": np.zeros(shape_prefix + (cap_c,), np.int8),
-            "count": np.zeros(shape_prefix, np.int32)}
+    bufs = {k: np.zeros(shape_prefix + (cap_c,), dtypes[k])
+            for k in ("xs", "ys", "ts", "ps")}
+    bufs["count"] = np.zeros(shape_prefix, dtypes["count"])
     return cap_c, bufs
 
 
@@ -90,21 +134,22 @@ def _native_eligible(seq):
 
 
 def pack_windows(seq, indices, capacity=None, out=None, metas=None,
-                 out_zeroed=True):
+                 out_zeroed=True, wire="f32"):
     """Pack the given window indices of a Sequence.
 
     Returns (buffers, metas) where buffers is a dict of numpy arrays
-    {xs, ys: (T, E) i16|f32; ts: (T, E) f32; ps: (T, E) i8; count: (T,) i32}
-    and metas is the list of per-window host metadata dicts from
-    ``seq.window``. Pass ``out`` (a dict of C-contiguous (T, capacity)
-    arrays of compatible dtypes, plus ``count`` (T,)) to pack in place —
-    the batched runner hands in views of its (N, T, E) buffers to avoid a
-    second copy; pass ``out_zeroed=False`` when those buffers are reused
-    across chunks (a buffer pool) so row tails get cleared of stale events
-    (the native packer always clears tails; this flag covers the numpy
-    fallback). Pass ``metas`` (the ``seq.window`` dicts for ``indices``,
-    in order) to skip recomputing the window metadata the eval loops
-    already hold.
+    {xs, ys: (T, E); ts: (T, E); ps: (T, E) i8; count: (T,) i32} with
+    dtypes per ``wire_dtypes(wire, ...)``, and metas is the list of
+    per-window host metadata dicts from ``seq.window``. Pass ``out`` (a
+    dict of C-contiguous (T, capacity) arrays, plus ``count`` (T,)) to
+    pack in place — the batched runner hands in views of its (N, T, E)
+    buffers to avoid a second copy; the wire format is then inferred from
+    ``out``'s dtypes. Pass ``out_zeroed=False`` when those buffers are
+    reused across chunks (a buffer pool) so row tails get cleared of stale
+    events (the native packer always clears tails; this flag covers the
+    numpy fallback). Pass ``metas`` (the ``seq.window`` dicts for
+    ``indices``, in order) to skip recomputing the window metadata the
+    eval loops already hold.
     """
     if metas is None:
         metas = [seq.window(i) for i in indices]
@@ -115,18 +160,15 @@ def pack_windows(seq, indices, capacity=None, out=None, metas=None,
 
     t = len(indices)
     int_coords = np.issubdtype(seq.xy.dtype, np.integer)
-    xy_dtype = np.int16 if int_coords else np.float32
 
     native_ok = _native_eligible(seq)
     if out is None:
+        dt = wire_dtypes(wire, int_coords,
+                         getattr(seq, "sensor_resolution", None))
         alloc = np.empty if native_ok else np.zeros
-        out = {"xs": alloc((t, capacity), np.int16 if native_ok
-                           else xy_dtype),
-               "ys": alloc((t, capacity), np.int16 if native_ok
-                           else xy_dtype),
-               "ts": alloc((t, capacity), np.float32),
-               "ps": alloc((t, capacity), np.int8),
-               "count": alloc((t,), np.int32)}
+        out = {k: alloc((t, capacity), dt[k])
+               for k in ("xs", "ys", "ts", "ps")}
+        out["count"] = alloc((t,), dt["count"])
         zeroed = not native_ok
     else:
         # validate every buffer's shape, not just xs — the native packer
@@ -137,16 +179,25 @@ def pack_windows(seq, indices, capacity=None, out=None, metas=None,
                                                    (t, capacity))
         assert out["count"].shape == (t,), (out["count"].shape, (t,))
         zeroed = bool(out_zeroed)
-        native_ok = native_ok and all(
-            out[k].dtype == d and out[k].flags["C_CONTIGUOUS"]
-            for k, d in (("xs", np.int16), ("ys", np.int16),
-                         ("ts", np.float32), ("ps", np.int8),
-                         ("count", np.int32)))
+    compact_ts = out["ts"].dtype == np.uint16
+    u8_coords = out["xs"].dtype == np.uint8
+    wire = "compact" if compact_ts else "f32"
+    xy_ok = np.uint8 if u8_coords else np.int16
+    native_ok = native_ok and all(
+        out[k].dtype == d and out[k].flags["C_CONTIGUOUS"]
+        for k, d in (("xs", xy_ok), ("ys", xy_ok),
+                     ("ts", np.uint16 if compact_ts else np.float32),
+                     ("ps", np.int8), ("count", np.int32)))
 
     if native_ok:
         idx0 = np.asarray([m["idx0"] for m in metas], np.int64)
         idx1 = np.asarray([m["idx1"] for m in metas], np.int64)
-        if native.pack_i16(seq.t, seq.xy, seq.p, idx0, idx1, capacity, out):
+        packed = (native.pack_compact(seq.t, seq.xy, seq.p, idx0, idx1,
+                                      capacity, u8_coords, out)
+                  if compact_ts
+                  else native.pack_i16(seq.t, seq.xy, seq.p, idx0, idx1,
+                                       capacity, out))
+        if packed:
             return out, metas
 
     for row, meta in enumerate(metas):
@@ -161,10 +212,32 @@ def pack_windows(seq, indices, capacity=None, out=None, metas=None,
             continue
         i0, i1 = meta["idx0"], meta["idx1"]
         xy = seq.xy[i0:i1]
-        out["xs"][row, :n] = xy[:, 0]
-        out["ys"][row, :n] = xy[:, 1]
+        if u8_coords:
+            # out-of-range values park at the 255 sentinel, which the
+            # device's bounds guard drops (wire_dtypes requires h, w <= 255)
+            xw, yw = xy[:, 0], xy[:, 1]
+            out["xs"][row, :n] = np.where(
+                (xw >= 0) & (xw < 256), xw, 255).astype(np.uint8)
+            out["ys"][row, :n] = np.where(
+                (yw >= 0) & (yw < 256), yw, 255).astype(np.uint8)
+        else:
+            out["xs"][row, :n] = xy[:, 0]
+            out["ys"][row, :n] = xy[:, 1]
         ets = np.asarray(seq.t[i0:i1])
-        out["ts"][row, :n] = (ets - ets[0]).astype(np.float32)
+        if compact_ts:
+            dt_w = float(ets[-1] - ets[0])
+            if dt_w < 1e-9:
+                # degenerate window: the reference's linspace spread
+                # (event_utils.py:48-49), quantized host-side
+                out["ts"][row, :n] = np.rint(
+                    np.arange(n) * (U16_TS_SCALE / max(n - 1, 1))
+                ).astype(np.uint16)
+            else:
+                q = np.rint((ets - ets[0]) * (U16_TS_SCALE / dt_w))
+                out["ts"][row, :n] = np.clip(q, 0.0, U16_TS_SCALE) \
+                    .astype(np.uint16)
+        else:
+            out["ts"][row, :n] = (ets - ets[0]).astype(np.float32)
         out["ps"][row, :n] = (np.asarray(seq.p[i0:i1]).astype(np.int8)
                               & 1) * 2 - 1
 

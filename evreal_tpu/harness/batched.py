@@ -297,11 +297,14 @@ def eval_method_on_sequence_group(dataset_name, eval_config, method_name,
     total_frames = sum(len(p) for p in procs)
     max_chunks = max((-(-len(p) // chunk_t) for p in procs), default=0)
 
-    # compact dtypes as emitted by pack_windows (int16 coords unless any
-    # sequence has fractional on-disk coords, int8 +-1 polarity) — keeps the
-    # native-packer output and the halved host->device bytes in this path too
+    # wire-format dtypes as emitted by pack_windows (int16 coords unless any
+    # sequence has fractional on-disk coords, int8 +-1 polarity; EVREAL_WIRE=
+    # compact narrows ts to u16 fractions and coords to u8 when the sensor
+    # fits) — the streamed loop is host->device-bound, so wire bytes are fps
+    from evreal_tpu.data.packing import wire_dtypes, wire_format
+
     int_coords = all(np.issubdtype(seq.xy.dtype, np.integer) for seq in seqs)
-    xy_dtype = np.int16 if int_coords else np.float32
+    dtypes = wire_dtypes(wire_format(), int_coords, resolution)
 
     # buffer pools, rotated per chunk: fresh np.zeros every chunk costs a
     # page fault per touched page (~2x host pack time measured at ECD scale
@@ -311,11 +314,11 @@ def eval_method_on_sequence_group(dataset_name, eval_config, method_name,
     # the CPU backend aliases numpy buffers zero-copy.
     n_pools = min(PIPELINE_DEPTH, max(max_chunks, 1)) + 1
     buf_pool = [
-        {"xs": np.zeros((n_pad, chunk_t, capacity), xy_dtype),
-         "ys": np.zeros((n_pad, chunk_t, capacity), xy_dtype),
-         "ts": np.zeros((n_pad, chunk_t, capacity), np.float32),
-         "ps": np.zeros((n_pad, chunk_t, capacity), np.int8),
-         "count": np.zeros((n_pad, chunk_t), np.int32)}
+        {"xs": np.zeros((n_pad, chunk_t, capacity), dtypes["xs"]),
+         "ys": np.zeros((n_pad, chunk_t, capacity), dtypes["ys"]),
+         "ts": np.zeros((n_pad, chunk_t, capacity), dtypes["ts"]),
+         "ps": np.zeros((n_pad, chunk_t, capacity), dtypes["ps"]),
+         "count": np.zeros((n_pad, chunk_t), dtypes["count"])}
         for _ in range(n_pools)]
     # GT frames cross the tunnel as raw uint8 when every image-bearing
     # memmap stores u8 (runner.derefs converts on device, bit-identical
@@ -353,7 +356,7 @@ def eval_method_on_sequence_group(dataset_name, eval_config, method_name,
             # to its own bucket with one-off buffers instead of inflating
             # every pool for the whole run
             cap_c, bufs = outlier_buffers((n_pad, chunk_t), chunk_max,
-                                          xy_dtype)
+                                          dtypes)
             zeroed = True
         chunk_info = []
         for j, (seq, proc) in enumerate(zip(seqs, procs)):

@@ -75,7 +75,8 @@ def make_voxel_stage(vox_fn, num_bins, hw, event_norm,
     windows_batched = getattr(vox_fn, "windows_batched", False)
 
     def stage(xs, ys, ts, ps, count):
-        ts = ts.astype(jnp.float32)
+        if ts.dtype != jnp.uint16:  # compact wire: dtype carries semantics
+            ts = ts.astype(jnp.float32)  # (ops/voxelize._t_norm)
         ps = ps.astype(jnp.float32)
 
         if windows_batched:
@@ -680,13 +681,16 @@ def eval_method_on_sequence(dataset_name, eval_config, method_name, bundle,
     # touched page on this 1-core host.
     n_chunks = -(-len(proc) // chunk_t) if proc else 0
     n_pools = min(PIPELINE_DEPTH, max(n_chunks, 1)) + 1
-    xy_dtype = (np.int16 if np.issubdtype(seq.xy.dtype, np.integer)
-                else np.float32)
-    buf_pool = [{"xs": np.zeros((chunk_t, capacity), xy_dtype),
-                 "ys": np.zeros((chunk_t, capacity), xy_dtype),
-                 "ts": np.zeros((chunk_t, capacity), np.float32),
-                 "ps": np.zeros((chunk_t, capacity), np.int8),
-                 "count": np.zeros((chunk_t,), np.int32)}
+    from evreal_tpu.data.packing import wire_dtypes, wire_format
+
+    dtypes = wire_dtypes(wire_format(),
+                         np.issubdtype(seq.xy.dtype, np.integer),
+                         seq.sensor_resolution)
+    buf_pool = [{"xs": np.zeros((chunk_t, capacity), dtypes["xs"]),
+                 "ys": np.zeros((chunk_t, capacity), dtypes["ys"]),
+                 "ts": np.zeros((chunk_t, capacity), dtypes["ts"]),
+                 "ps": np.zeros((chunk_t, capacity), dtypes["ps"]),
+                 "count": np.zeros((chunk_t,), dtypes["count"])}
                 for _ in range(n_pools)]
 
     # Metric arrays always span the full compiled chunk_t (refs zero-padded,
@@ -728,7 +732,7 @@ def eval_method_on_sequence(dataset_name, eval_config, method_name, bundle,
             # outlier chunk (rare by plan_capacity construction): escalate
             # to its own bucket with one-off buffers instead of inflating
             # every pool for the whole sequence
-            cap_c, views = outlier_buffers((valid_t,), chunk_max, xy_dtype)
+            cap_c, views = outlier_buffers((valid_t,), chunk_max, dtypes)
             zeroed = True
         buffers, metas = pack_windows(seq, chunk, capacity=cap_c,
                                       out=views, out_zeroed=zeroed,
@@ -1074,6 +1078,12 @@ def evaluate(method_names=None, eval_config_names=None, dataset_names=None,
 
 def _evaluate(method_names=None, eval_config_names=None, dataset_names=None,
               metrics=None):
+    # a malformed EVREAL_WIRE must fail fast, not degrade every dataset to
+    # a printed traceback inside the per-dataset containment (same pattern
+    # as the EVREAL_BATCH_N parse at import)
+    from evreal_tpu.data.packing import wire_format
+
+    wire_format()
     if method_names is None:
         method_names = ["E2VID", "E2VID+", "FireNet", "FireNet+",
                         "SPADE-E2VID", "SSL-E2VID", "ET-Net", "HyperE2VID"]

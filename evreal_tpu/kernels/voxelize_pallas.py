@@ -178,7 +178,8 @@ def voxelize_pallas_windows(xs, ys, ts, ps, count, num_bins, sensor_size,
     h, w = sensor_size
     t_n, e = xs.shape
     ps = ps.astype(jnp.float32)
-    ts = ts.astype(jnp.float32)
+    if ts.dtype != jnp.uint16:  # compact wire: dtype carries semantics
+        ts = ts.astype(jnp.float32)  # (ops/voxelize._t_norm)
 
     def prep_one(x, y, t, p, c):
         return _event_rows_cols(x, y, t, p, c, num_bins, h, w)

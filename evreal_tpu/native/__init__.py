@@ -57,6 +57,7 @@ def load():
                 try:
                     lib = ctypes.CDLL(path)
                     lib.evreal_pack_i16.restype = ctypes.c_int
+                    lib.evreal_pack_compact.restype = ctypes.c_int
                     lib.evreal_rank_equalize.restype = ctypes.c_int
                     _lib = lib
                 except OSError:
@@ -87,6 +88,34 @@ def pack_i16(ts, xy, p, idx0, idx1, capacity, out):
         ctypes.c_void_p(out["count"].ctypes.data))
     if rc != 0:
         raise ValueError("evreal_pack_i16: window exceeds capacity or bounds")
+    return True
+
+
+def pack_compact(ts, xy, p, idx0, idx1, capacity, u8_coords, out):
+    """Compact-wire fused pack (see pack_i16 for the array contract).
+    ``out`` holds (T, capacity) buffers {ts u16, xs/ys u8|i16 per
+    ``u8_coords``, ps i8, count i32}. Returns True on success (False ->
+    caller should use the numpy fallback)."""
+    lib = load()
+    if lib is None:
+        return False
+    t_rows = len(idx0)
+    idx0 = idx0.astype(ctypes.c_int64, copy=False)
+    idx1 = idx1.astype(ctypes.c_int64, copy=False)
+    rc = lib.evreal_pack_compact(
+        ctypes.c_void_p(ts.ctypes.data), ctypes.c_void_p(xy.ctypes.data),
+        ctypes.c_void_p(p.ctypes.data), ctypes.c_int64(len(ts)),
+        ctypes.c_void_p(idx0.ctypes.data), ctypes.c_void_p(idx1.ctypes.data),
+        ctypes.c_int64(t_rows), ctypes.c_int64(capacity),
+        ctypes.c_int(1 if u8_coords else 0),
+        ctypes.c_void_p(out["ts"].ctypes.data),
+        ctypes.c_void_p(out["xs"].ctypes.data),
+        ctypes.c_void_p(out["ys"].ctypes.data),
+        ctypes.c_void_p(out["ps"].ctypes.data),
+        ctypes.c_void_p(out["count"].ctypes.data))
+    if rc != 0:
+        raise ValueError(
+            "evreal_pack_compact: window exceeds capacity or bounds")
     return True
 
 

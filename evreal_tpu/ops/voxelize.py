@@ -31,8 +31,20 @@ import jax
 import jax.numpy as jnp
 
 
+# Compact wire format (data/packing.py wire="compact"): timestamps arrive as
+# uint16 window-normalized fractions q = round((ts - ts0) / dt * 65535), the
+# degenerate dt < 1e-9 linspace already encoded host-side. Worst-case t_norm
+# error is 0.5 / 65535 * (num_bins - 1) ~ 3.1e-5 bins (error bound measured
+# end-to-end in tests/test_wire_compact.py) — far inside the 1e-3 parity
+# budget — for 2 bytes/event on the wire instead of 4.
+U16_TS_SCALE = 65535.0
+
+
 def _t_norm(ts, count, num_bins):
     """Normalized temporal coordinate per event, in [0, num_bins - 1]."""
+    if ts.dtype == jnp.uint16:  # compact wire: pre-normalized fraction
+        return ts.astype(jnp.float32) * jnp.float32(
+            (num_bins - 1) / U16_TS_SCALE)
     e = ts.shape[0]
     n = count
     ts0 = ts[0]

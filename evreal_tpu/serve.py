@@ -41,7 +41,12 @@ import threading
 import numpy as np
 
 from evreal_tpu.data.packing import _MIN_CAPACITY as _MIN_PACK_CAPACITY
-from evreal_tpu.data.packing import bucket_capacity
+from evreal_tpu.data.packing import (
+    U16_TS_SCALE,
+    bucket_capacity,
+    wire_dtypes,
+    wire_format,
+)
 
 _MIN_SERVE_CAPACITY = _MIN_PACK_CAPACITY
 # per-fetch ceiling for device->host frame transfers: large single
@@ -57,33 +62,52 @@ def _empty_window(float_coords=False):
             np.array([], np.float64), np.array([], np.int8))
 
 
-def _pack_window(xs, ys, ts, ps, capacity=None, float_coords=False):
+def _pack_window(xs, ys, ts, ps, capacity=None, float_coords=False,
+                 dtypes=None):
     """One event window -> the runner's (T=1, E) packed buffers.
 
-    ``ts`` may be absolute (zero-based here, float64 before the f32
+    ``ts`` may be absolute (zero-based here, float64 before the
     narrowing — same precision order as data/packing.py); ``ps`` may be
     the on-disk {0,1} or already ±1 (0 maps to -1, reference
-    dataset.py:227). The coordinate dtype is fixed per stream at open time
-    (``float_coords``), NOT inferred per push — an inferred dtype would
-    flip the jit signature between pushes (e.g. an empty Python list
-    packs float64) and each flip costs a fresh multi-minute compile on a
-    degraded chip.
+    dataset.py:227). The buffer dtypes are fixed per stream at open time
+    (``float_coords`` + the wire format, see ``wire_dtypes``), NOT
+    inferred per push — an inferred dtype would flip the jit signature
+    between pushes (e.g. an empty Python list packs float64) and each
+    flip costs a fresh multi-minute compile on a degraded chip.
     """
     n = len(xs)
     cap = capacity or bucket_capacity(n, _MIN_SERVE_CAPACITY)
     if cap < n:
         raise ValueError(f"window of {n} events exceeds capacity {cap}")
-    xy_dtype = np.float32 if float_coords else np.int16
-    out = {"xs": np.zeros((1, cap), xy_dtype),
-           "ys": np.zeros((1, cap), xy_dtype),
-           "ts": np.zeros((1, cap), np.float32),
-           "ps": np.zeros((1, cap), np.int8),
+    if dtypes is None:
+        dtypes = wire_dtypes("f32", not float_coords)
+    out = {"xs": np.zeros((1, cap), dtypes["xs"]),
+           "ys": np.zeros((1, cap), dtypes["ys"]),
+           "ts": np.zeros((1, cap), dtypes["ts"]),
+           "ps": np.zeros((1, cap), dtypes["ps"]),
            "count": np.array([n], np.int32)}
     if n:
-        out["xs"][0, :n] = xs
-        out["ys"][0, :n] = ys
+        if dtypes["xs"] == np.uint8:
+            # out-of-range coords park at the 255 sentinel; the device's
+            # bounds guard drops them (data/packing.py compact wire)
+            xw = np.asarray(xs)
+            yw = np.asarray(ys)
+            out["xs"][0, :n] = np.where((xw >= 0) & (xw < 256), xw, 255)
+            out["ys"][0, :n] = np.where((yw >= 0) & (yw < 256), yw, 255)
+        else:
+            out["xs"][0, :n] = xs
+            out["ys"][0, :n] = ys
         t = np.asarray(ts, np.float64)
-        out["ts"][0, :n] = (t - t[0]).astype(np.float32)
+        if dtypes["ts"] == np.uint16:
+            dt = float(t[-1] - t[0])
+            if dt < 1e-9:
+                q = np.rint(np.arange(n) * (U16_TS_SCALE / max(n - 1, 1)))
+            else:
+                q = np.clip(np.rint((t - t[0]) * (U16_TS_SCALE / dt)),
+                            0.0, U16_TS_SCALE)
+            out["ts"][0, :n] = q.astype(np.uint16)
+        else:
+            out["ts"][0, :n] = (t - t[0]).astype(np.float32)
         p = np.asarray(ps)
         out["ps"][0, :n] = np.where(p > 0, 1, -1).astype(np.int8)
     return out
@@ -102,24 +126,26 @@ def _fetch(dev):
 
 
 class _Stream:
-    __slots__ = ("runner", "state", "frames", "float_coords")
+    __slots__ = ("runner", "state", "frames", "float_coords", "dtypes")
 
-    def __init__(self, runner, float_coords):
+    def __init__(self, runner, float_coords, dtypes):
         self.runner = runner
         self.state = runner.init_state()
         self.frames = 0
         self.float_coords = float_coords
+        self.dtypes = dtypes
 
 
 class _Group:
-    __slots__ = ("runner", "state", "n", "frames", "float_coords")
+    __slots__ = ("runner", "state", "n", "frames", "float_coords", "dtypes")
 
-    def __init__(self, runner, n, float_coords):
+    def __init__(self, runner, n, float_coords, dtypes):
         self.runner = runner
         self.state = runner.init_state()
         self.n = n
         self.frames = 0
         self.float_coords = float_coords
+        self.dtypes = dtypes
 
 
 class ReconEngine:
@@ -175,13 +201,16 @@ class ReconEngine:
     def open_stream(self, height, width, float_coords=False):
         """Register a camera stream at a sensor resolution; returns sid.
         ``float_coords``: the stream carries fractional (sub-pixel) event
-        coordinates (BS-ERGB-style); fixed at open time so the compiled
-        program signature never flips between pushes."""
+        coordinates (BS-ERGB-style); fixed at open time — together with
+        the wire format (``EVREAL_WIRE``, read here once) — so the
+        compiled program signature never flips between pushes."""
         with self._lock:
             runner = self._runner(height, width)
+            dtypes = wire_dtypes(wire_format(), not float_coords,
+                                 (int(height), int(width)))
             sid = self._next_sid
             self._next_sid += 1
-            self._streams[sid] = _Stream(runner, bool(float_coords))
+            self._streams[sid] = _Stream(runner, bool(float_coords), dtypes)
             return sid
 
     def _get(self, sid):
@@ -202,7 +231,8 @@ class ReconEngine:
         with self._lock:
             st = self._get(sid)
             bufs = _pack_window(xs, ys, ts, ps,
-                                float_coords=st.float_coords)
+                                float_coords=st.float_coords,
+                                dtypes=st.dtypes)
             state, _, clipped = st.runner.run(st.state, bufs)
             st.state = state
             st.frames += 1
@@ -247,9 +277,12 @@ class ReconEngine:
                     width=int(width), num_bins=self.num_bins, n=int(n),
                     chunk_t=self.chunk_t, mesh=mesh)
                 self._runners[key] = runner
+            dtypes = wire_dtypes(wire_format(), not float_coords,
+                                 (int(height), int(width)))
             gid = self._next_sid
             self._next_sid += 1
-            self._groups[gid] = _Group(runner, int(n), bool(float_coords))
+            self._groups[gid] = _Group(runner, int(n), bool(float_coords),
+                                       dtypes)
             return gid
 
     def push_group(self, gid, windows, *, u8=False):
@@ -270,7 +303,8 @@ class ReconEngine:
             cap = bucket_capacity(max((len(w[0]) for w in wins), default=0),
                                   _MIN_SERVE_CAPACITY)
             rows = [_pack_window(*w, capacity=cap,
-                                 float_coords=g.float_coords) for w in wins]
+                                 float_coords=g.float_coords,
+                                 dtypes=g.dtypes) for w in wins]
             # each row is (T=1, E) / count (1,); stack to (N, T=1, E) and
             # count (N, T=1) — the BatchedRunner's buffer contract
             bufs = {k: np.stack([r[k] for r in rows])
