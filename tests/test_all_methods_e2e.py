@@ -1,7 +1,12 @@
 """All-eight-methods end-to-end: synthesize random torch checkpoints in the
 reference's four schemas (eval.py:124-158), then drive ``evaluate`` through
 config resolution, auto-conversion, model build, batched eval and score-table
-aggregation on a tiny synthetic dataset."""
+aggregation on a tiny synthetic dataset — and assert every method's
+per-frame MSE/SSIM against a full reference-semantics torch chain
+(windowing -> input norm -> CropParameters pad -> model -> crop ->
+post-norm -> clip -> gating -> metrics; eval.py:189-246 +
+eval_metrics.py:244-273), extending the FireNet/FireNet+ golden-chain
+locks (tests/test_golden_scores.py) to all six remaining methods."""
 
 import json
 import os
@@ -21,6 +26,15 @@ SMALL_UNET = {"num_bins": 5, "base_num_channels": 8, "kernel_size": 3,
               "num_encoders": 2, "recurrent_block_type": "convlstm",
               "num_residual_blocks": 1, "skip_type": "sum", "norm": None,
               "use_upsample_conv": True}
+# SSL-E2VID's architecture is hard-coded in the reference loader
+# (eval.py:134-139) — its raw-state_dict checkpoint carries no kwargs
+SSL_KW = {"base_num_channels": 32, "kernel_size": 5, "num_bins": 5,
+          "num_encoders": 3, "recurrent_block_type": "convlstm",
+          "num_residual_blocks": 2, "skip_type": "sum", "norm": None,
+          "use_upsample_conv": True}
+# method-config flags used by BOTH the evaluate() run and the torch oracle
+INPUT_NORM = ("E2VID", "FireNet")
+POST_NORM = {"E2VID": "robust", "SSL-E2VID": "exprobust"}
 
 
 def _config_parser(arch_type, args):
@@ -89,13 +103,101 @@ def make_checkpoints(root):
 
     # schema: checkpoint IS the state_dict
     save("SPADE-E2VID", spade.Unet6().state_dict())
-    ssl_kw = {"base_num_channels": 32, "kernel_size": 5, "num_bins": 5,
-              "num_encoders": 3, "recurrent_block_type": "convlstm",
-              "num_residual_blocks": 2, "skip_type": "sum", "norm": None,
-              "use_upsample_conv": True}
-    m = mm.E2VIDRecurrent(ssl_kw)
+    m = mm.E2VIDRecurrent(dict(SSL_KW))
     save("SSL-E2VID", m.state_dict())
     return out
+
+
+def _load_ref_model(method, ckpt_path):
+    """The reference's per-method checkpoint dispatch (eval.py:124-158) on
+    the torch modules loaded via tests/oracle.py. Returns the model in eval
+    mode with the forced num_encoders quirks applied."""
+    import torch
+
+    mm = ref_module("model.model")
+    legacy = ref_module("model.legacy")
+    spade = ref_module("model.spade_e2v")
+    eitr = ref_module("model.eitr.eitr")
+    _install_parse_config_shim()
+    ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    forced = None
+    if method == "E2VID":
+        kw = dict(ckpt["model"])
+        kw["final_activation"] = "sigmoid"  # eval.py:141-144
+        model, sd = mm.E2VIDRecurrent(kw), ckpt["state_dict"]
+    elif method == "FireNet":
+        kw = dict(ckpt["config"]["model"])
+        kw["final_activation"] = ""  # eval.py:145-148
+        model, sd = legacy.FireNet_legacy(kw), ckpt["state_dict"]
+    elif method == "FireNet+":
+        model = mm.FireNet(**ckpt["config"]["arch"]["args"])
+        sd, forced = ckpt["state_dict"], 0  # eval.py:154-155
+    elif method in ("E2VID+", "HyperE2VID"):
+        model = mm.E2VIDRecurrent(
+            ckpt["config"]["arch"]["args"]["unet_kwargs"])
+        sd = ckpt["state_dict"]
+    elif method == "ET-Net":
+        model = eitr.EITR(ckpt["config"]["arch"]["args"]["eitr_kwargs"])
+        sd, forced = ckpt["state_dict"], 3  # eval.py:152-153
+    elif method == "SPADE-E2VID":
+        model, sd, forced = spade.Unet6(), ckpt, 3  # eval.py:130-133
+    elif method == "SSL-E2VID":
+        model, sd = mm.E2VIDRecurrent(dict(SSL_KW)), ckpt
+    else:
+        raise ValueError(method)
+    model.load_state_dict(sd)
+    model.eval()
+    if forced is not None:
+        model.num_encoders = forced
+    return model
+
+
+def oracle_chain_rows(method, ckpt_path, seq_dir, start_s, end_s,
+                      ts_tol_ms=1.0):
+    """Full reference-chain per-frame scores for one method:
+    {idx: (mse, ssim)} (eval.py:189-246 + eval_metrics.py:244-273)."""
+    import torch
+
+    from .test_end_to_end import torch_normalize_event_tensor
+    from .test_metrics import skimage_ssim_oracle
+
+    ds_mod = ref_module("dataset")
+    util = ref_module("utils.util")
+    model = _load_ref_model(method, ckpt_path)
+    model.reset_states()
+
+    post = POST_NORM.get(method, "none")
+    ds = ds_mod.MemMapDataset(seq_dir, num_bins=5,
+                              voxel_method={"method": "between_frames"})
+    h, w = ds.sensor_resolution
+    cropper = util.CropParameters(w, h, model.num_encoders)
+    rows = {}
+    with torch.no_grad():
+        for idx in range(len(ds)):
+            item = ds[idx]
+            pred_ts = item["voxel_timestamp"].item()
+            if pred_ts < start_s - 10:
+                continue
+            if pred_ts > end_s:
+                break
+            voxel = item["events"]
+            if method in INPUT_NORM:
+                voxel = torch_normalize_event_tensor(voxel)
+            voxel = cropper.pad(voxel.unsqueeze(0))
+            img = cropper.crop(model(voxel)["image"])[0, 0].numpy()
+            if post != "none":  # eval.py:380-395 + eval_utils.py:15-35
+                x = np.exp(img) if post == "exprobust" else img
+                lo = np.percentile(x.ravel(), 1)
+                hi = np.percentile(x.ravel(), 99)
+                img = (x - lo) / (hi - lo)
+            img = np.clip(img, 0, 1)
+            ref = np.clip(item["frame"][0].numpy(), 0, 1)
+            ref_ts = item["frame_timestamp"].item()
+            if (start_s <= pred_ts <= end_s
+                    and abs(ref_ts - pred_ts) * 1000 <= ts_tol_ms):
+                rows[idx] = (float(np.mean((ref - img) ** 2)),
+                             skimage_ssim_oracle(img, ref))
+    return rows
 
 
 METHODS = ["E2VID", "E2VID+", "FireNet", "FireNet+", "SPADE-E2VID",
@@ -117,11 +219,8 @@ def test_all_eight_methods(tmp_path, monkeypatch, capsys):
         with open(f"config/method/{method}.json", "w",
                   encoding="utf-8") as f:
             json.dump({"model_name": method, "model_path": path,
-                       "event_tensor_normalization":
-                           method in ("E2VID", "FireNet"),
-                       "post_process_norm":
-                           {"E2VID": "robust",
-                            "SSL-E2VID": "exprobust"}.get(method, "none")},
+                       "event_tensor_normalization": method in INPUT_NORM,
+                       "post_process_norm": POST_NORM.get(method, "none")},
                       f)
     with open("config/dataset/SYN.json", "w", encoding="utf-8") as f:
         json.dump({"root_path": "data/SYN",
@@ -143,6 +242,23 @@ def test_all_eight_methods(tmp_path, monkeypatch, capsys):
         for row in rows:
             val = float(row.split()[1])
             assert np.isfinite(val), (method, row)
+
+        # full-chain parity: the same windows through the reference torch
+        # chain must score identically (within f32-pipeline tolerance;
+        # txt values are {:.5f}-quantized, eval_utils.py:57-69)
+        want = oracle_chain_rows(method, ckpts[method],
+                                 str(tmp_path / "data" / "SYN" / "seq0"),
+                                 0.05, 0.5)
+        got_mse = {int(r.split()[0]): float(r.split()[1])
+                   for r in rows}
+        got_ssim = {int(r.split()[0]): float(r.split()[1]) for r in
+                    (mdir / "ssim.txt").read_text().splitlines()}
+        assert set(got_mse) == set(want), (method, set(got_mse), set(want))
+        for idx, (mse, ssim) in want.items():
+            assert abs(got_mse[idx] - mse) < 5e-4, (method, idx,
+                                                    got_mse[idx], mse)
+            assert abs(got_ssim[idx] - ssim) < 5e-4, (method, idx,
+                                                      got_ssim[idx], ssim)
 
 
 def test_save_load_params_sidecar_roundtrip(tmp_path):

@@ -23,6 +23,23 @@ from .test_metrics import skimage_ssim_oracle
 CKPT = "/root/reference/pretrained/FireNet+/model.pth"
 
 
+def torch_normalize_event_tensor(event_tensor):
+    """Reference input normalization, eval.py:398-410 verbatim semantics
+    (shared with the all-methods chain oracle in test_all_methods_e2e)."""
+    import torch
+
+    nonzero = event_tensor != 0
+    num_nonzeros = nonzero.sum()
+    if num_nonzeros > 0:
+        mean = event_tensor.sum() / num_nonzeros
+        stddev = torch.sqrt((event_tensor ** 2).sum() / num_nonzeros
+                            - mean ** 2)
+        stddev = torch.max(stddev, torch.tensor(1e-6))
+        mask = nonzero.float()
+        event_tensor = mask * (event_tensor - mean) / stddev
+    return event_tensor
+
+
 class FakeBundle:
     """MethodBundle without config-file resolution."""
 
@@ -80,18 +97,7 @@ def reference_pipeline(seq_dir, start_s, end_s, ts_tol_ms=1.0,
         model.num_encoders = 0
     model.reset_states()
 
-    def normalize_event_tensor(event_tensor):
-        # eval.py:398-410 verbatim semantics
-        nonzero = event_tensor != 0
-        num_nonzeros = nonzero.sum()
-        if num_nonzeros > 0:
-            mean = event_tensor.sum() / num_nonzeros
-            stddev = torch.sqrt((event_tensor ** 2).sum() / num_nonzeros
-                                - mean ** 2)
-            stddev = torch.max(stddev, torch.tensor(1e-6))
-            mask = nonzero.float()
-            event_tensor = mask * (event_tensor - mean) / stddev
-        return event_tensor
+    normalize_event_tensor = torch_normalize_event_tensor
 
     ds = ds_mod.MemMapDataset(
         seq_dir, num_bins=5,
