@@ -37,12 +37,31 @@ def conv_lstm(p, x, state, *, kernel_size=3):
 
 
 def conv_gru(p, x, state, *, kernel_size=3):
-    """ConvGRU (submodules.py:248-287)."""
+    """ConvGRU (submodules.py:248-287).
+
+    The update and reset gates read the same stacked input, so their two
+    convs fuse into one at apply time: kernels concatenated along the
+    output axis — channelwise-identical math (each output channel is an
+    independent reduction), and the concat is loop-invariant so XLA hoists
+    it out of the scan. 2 convs per step instead of the reference's 3 — a
+    real lever in the op-dispatch-bound batch-1 regime (BASELINE.md
+    roofline); params stay keyed by the reference's separate module paths.
+    """
     prev = state
     pad = kernel_size // 2
     stacked = jnp.concatenate([x, prev], axis=-1)
-    update = jax.nn.sigmoid(conv2d(p["update_gate"], stacked, padding=pad))
-    reset = jax.nn.sigmoid(conv2d(p["reset_gate"], stacked, padding=pad))
+    u, r = p["update_gate"], p["reset_gate"]
+    u_bias, r_bias = u.get("bias"), r.get("bias")
+    if (u_bias is None) == (r_bias is None):
+        fused = {"weight": jnp.concatenate([u["weight"], r["weight"]],
+                                           axis=3)}
+        if u_bias is not None:
+            fused["bias"] = jnp.concatenate([u_bias, r_bias])
+        update, reset = jnp.split(
+            jax.nn.sigmoid(conv2d(fused, stacked, padding=pad)), 2, axis=-1)
+    else:  # mismatched bias presence: keep the reference's separate convs
+        update = jax.nn.sigmoid(conv2d(u, stacked, padding=pad))
+        reset = jax.nn.sigmoid(conv2d(r, stacked, padding=pad))
     out = jnp.tanh(conv2d(
         p["out_gate"], jnp.concatenate([x, prev * reset], axis=-1), padding=pad))
     new = prev * (1 - update) + out * update
