@@ -7,13 +7,15 @@ sequences evaluated in lockstep as one scanned batch (the reference can only
 process sequences serially; batching is this framework's TPU scaling axis,
 harness/batched.py). Reported fps is aggregate frames/second of wall-clock.
 
-The headline streams event buffers host->device per chunk on the **compact
-wire** (data/packing.py: uint16 window-normalized timestamps + uint8
-coordinates, 5 bytes/event vs 9 for the strict-f32 wire) — the production
-serving configuration, like the scan unroll below. Score drift vs the f32
-wire is <1e-7 MSE/SSIM (measured 3.9e-9/6.2e-8) (tests/test_wire_compact.py), far inside the 1e-3
-parity budget; the strict-parity CLI default remains EVREAL_WIRE=f32, and
-``f32_wire_fps`` reports the same streamed loop on that wire.
+The headline streams event buffers host->device per chunk on the **packed
+compact4 wire** (data/packing.py: one uint32 per event — linear pixel
+index + window-normalized timestamp + polarity bit; 4 bytes/event vs 9 for
+the strict-f32 wire, and ONE transfer per chunk instead of four) — the
+production serving configuration, like the scan unroll below. Score drift
+vs the f32 wire is <1e-7 MSE/SSIM (tests/test_wire_compact.py measures it
+for both compact wires), far inside the 1e-3 parity budget; the
+strict-parity CLI default remains EVREAL_WIRE=f32, and ``f32_wire_fps``
+reports the same streamed loop on that wire.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...} plus
 self-diagnosis keys:
@@ -345,18 +347,21 @@ def main():
         "count": np.full((BATCH_N, CHUNK_T), n_events, np.int32),
     }
     buffers["ts"] -= buffers["ts"][:, :, :1]
-    # compact wire (the serving headline): u16 window-normalized ts
-    # fractions + u8 coords — 5 bytes/event on the tunnel instead of 9
-    # (the streamed loop is H2D-bound in the post-compute tunnel state)
-    dt_w = buffers["ts"][:, :, n_events - 1:n_events]  # window spans
-    compact = {
-        "xs": buffers["xs"].astype(np.uint8),
-        "ys": buffers["ys"].astype(np.uint8),
-        "ts": np.clip(np.rint(buffers["ts"] * (65535.0 / dt_w)),
-                      0, 65535).astype(np.uint16),
-        "ps": buffers["ps"],
-        "count": buffers["count"],
-    }
+    # packed compact4 wire (the serving headline): one u32 per event —
+    # 4 bytes on the tunnel instead of 9, and a single host->device array
+    # per chunk instead of four (the streamed loop is H2D-bound in the
+    # post-compute tunnel state)
+    from evreal_tpu.data.packing import encode_compact4
+
+    ev = np.zeros((BATCH_N, CHUNK_T, cap), np.uint32)
+    for i in range(BATCH_N):
+        for t in range(CHUNK_T):
+            ev[i, t, :n_events] = encode_compact4(
+                buffers["xs"][i, t, :n_events],
+                buffers["ys"][i, t, :n_events],
+                buffers["ts"][i, t, :n_events].astype(np.float64),
+                buffers["ps"][i, t, :n_events], (h, w))
+    compact = {"ev": ev, "count": buffers["count"]}
 
     def measure_streamed(state, bufs, reps=3, iters=4):
         # steady state: async-chained chunks (the eval loop's pipelined
@@ -382,7 +387,7 @@ def main():
 
     # device-resident variant: same program, event buffers pre-staged in
     # HBM. Separates the pipeline from the axon tunnel's host->device path
-    # (84 MB/chunk on the compact wire; production H2D rides PCIe with
+    # (~67 MB/chunk on the compact4 wire; production H2D rides PCIe with
     # double-buffering, the tunnel has been measured from 0.84 GB/s down
     # to ~30 MB/s) — the spread between the two numbers IS the tunnel
     # artifact.
@@ -404,7 +409,7 @@ def main():
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / REF_BASELINE_FPS, 2),
-        "wire": "compact",
+        "wire": "compact4",
         "wire_mb_per_chunk": round(wire_mb, 1),
         "device_resident_fps": round(1.0 / best_dev, 2),
         **probes,

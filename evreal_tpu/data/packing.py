@@ -20,7 +20,7 @@ numpy fallback produces bit-identical buffers.
 Timestamps are zero-based per window and cast to float32 *after* the shift,
 preserving the reference's precision behavior (dataset.py:56).
 
-Two wire formats (``wire_dtypes``):
+Three wire formats (``wire_dtypes``):
 
 * ``f32`` (default) — the layout above; voxel timestamps bit-match the
   reference's float32 math, so golden-score files reproduce exactly.
@@ -34,6 +34,19 @@ Two wire formats (``wire_dtypes``):
   ~3e-5 per event weight (ops/voxelize.U16_TS_SCALE note); end-to-end score
   drift is measured in tests/test_wire_compact.py. Select with
   ``EVREAL_WIRE=compact``; the default stays f32 for strict parity.
+* ``compact4`` — ONE uint32 per event (``compact4_layout``): linear pixel
+  index ``y * w + x`` in the low ``idx_bits = ceil(log2(h*w + 1))`` bits
+  (out-of-range events park at the ``h*w`` sentinel, which decodes to
+  ``y >= h`` and is dropped by the device bounds guard), a window-normalized
+  timestamp fraction in the next ``31 - idx_bits`` bits, polarity sign in
+  bit 31. 4 bytes/event AND a single host->device transfer per chunk
+  instead of four (the tunnel charges per array as well as per byte).
+  Decoded on device in ops/voxelize.decode_compact4, where the unpacking
+  fuses into the binning program. Falls back to ``compact`` dtypes when the
+  sensor doesn't fit (fractional coords, or fewer than 12 timestamp bits).
+  Timestamp precision at ECD scale (idx_bits 16 -> 15 ts bits) is half the
+  ``compact`` wire's — still ~1e4x inside the 1e-3 parity budget
+  (tests/test_wire_compact.py measures end-to-end drift for both).
 """
 
 import os
@@ -47,15 +60,41 @@ U16_TS_SCALE = 65535.0
 
 
 def wire_format():
-    """Active wire format: ``EVREAL_WIRE`` in {f32, compact}, default f32."""
+    """Active wire format: ``EVREAL_WIRE`` in {f32, compact, compact4},
+    default f32."""
     wire = os.environ.get("EVREAL_WIRE", "f32")
-    if wire not in ("f32", "compact"):
-        raise ValueError(f"EVREAL_WIRE must be 'f32' or 'compact': {wire!r}")
+    if wire not in ("f32", "compact", "compact4"):
+        raise ValueError(
+            f"EVREAL_WIRE must be 'f32', 'compact' or 'compact4': {wire!r}")
     return wire
 
 
+def compact4_layout(resolution):
+    """(idx_bits, ts_bits) of the packed-u32 wire for this sensor, or None
+    when it doesn't fit. The linear index needs ``ceil(log2(h*w + 1))``
+    bits (``h*w`` itself is the out-of-range sentinel); polarity takes bit
+    31; the timestamp fraction gets the rest, floored at 12 bits (worst
+    t_norm quantization ~1e-3 bins at 12 — every shipped dataset config's
+    sensor has >= 14)."""
+    if resolution is None:
+        return None
+    h, w = int(resolution[0]), int(resolution[1])
+    if h <= 0 or w <= 0:
+        return None
+    idx_bits = max(int(h * w).bit_length(), 1)  # bit_length(hw) >= log2(hw+1)
+    # capped at 16: the device decode widens to the uint16 scale, so more
+    # bits buy nothing (and at 16 the quantization exactly matches the
+    # ``compact`` wire's)
+    ts_bits = min(31 - idx_bits, 16)
+    if ts_bits < 12:
+        return None
+    return idx_bits, ts_bits
+
+
 def wire_dtypes(wire, int_coords, resolution=None):
-    """Buffer dtypes {xs, ys, ts, ps, count} for a wire format.
+    """Buffer dtypes for a wire format: {xs, ys, ts, ps, count}, or
+    {ev, count} for an eligible ``compact4`` sensor. Build event buffers by
+    iterating these keys (``alloc_buffers``), not a hard-coded list.
 
     ``int_coords``: whether the on-disk coordinates are integral (fractional
     BS-ERGB-style coords always travel as float32, preserving the
@@ -63,6 +102,10 @@ def wire_dtypes(wire, int_coords, resolution=None):
     coordinates need h, w <= 255 so the 255 out-of-range sentinel stays
     outside the sensor.
     """
+    if wire == "compact4":
+        if int_coords and compact4_layout(resolution) is not None:
+            return {"ev": np.uint32, "count": np.int32}
+        wire = "compact"  # graceful per-sensor fallback, like u8 coords
     xy = np.int16 if int_coords else np.float32
     ts = np.float32
     if wire == "compact":
@@ -72,6 +115,46 @@ def wire_dtypes(wire, int_coords, resolution=None):
             if h <= 255 and w <= 255:
                 xy = np.uint8
     return {"xs": xy, "ys": xy, "ts": ts, "ps": np.int8, "count": np.int32}
+
+
+def alloc_buffers(shape_prefix, capacity, dtypes, alloc=np.zeros):
+    """Event-buffer dict for any wire: per-event arrays shaped
+    ``shape_prefix + (capacity,)``, plus ``count`` shaped ``shape_prefix``."""
+    out = {k: alloc(shape_prefix + (capacity,), d)
+           for k, d in dtypes.items() if k != "count"}
+    out["count"] = alloc(shape_prefix, dtypes["count"])
+    return out
+
+
+def encode_compact4(xs, ys, ts, ps, resolution):
+    """Encode one window's events as packed uint32 (see module docstring).
+
+    ``xs/ys``: integer coordinates; ``ts``: float64 absolute or zero-based
+    timestamps; ``ps``: polarity, positive => +1 (either {0,1} or ±1).
+    Bit-identical to the native packer (same f64 op order: one division
+    into the scale, then per-event multiply + rint)."""
+    idx_bits, ts_bits = compact4_layout(resolution)
+    h, w = int(resolution[0]), int(resolution[1])
+    xs = np.asarray(xs).astype(np.int64)
+    ys = np.asarray(ys).astype(np.int64)
+    inb = (xs >= 0) & (xs < w) & (ys >= 0) & (ys < h)
+    idx = np.where(inb, ys * w + xs, h * w).astype(np.uint32)
+    n = idx.shape[0]
+    qmax = float((1 << ts_bits) - 1)
+    ts = np.asarray(ts, np.float64)
+    if n:
+        dt_w = float(ts[-1] - ts[0])
+        if dt_w < 1e-9:
+            # degenerate window: the reference's linspace spread
+            # (event_utils.py:48-49), quantized host-side
+            q = np.rint(np.arange(n) * (qmax / max(n - 1, 1)))
+        else:
+            q = np.clip(np.rint((ts - ts[0]) * (qmax / dt_w)), 0.0, qmax)
+        q = q.astype(np.uint32)
+    else:
+        q = np.zeros((0,), np.uint32)
+    pbit = (np.asarray(ps) > 0).astype(np.uint32)
+    return idx | (q << np.uint32(idx_bits)) | (pbit << np.uint32(31))
 
 
 def bucket_capacity(max_count, minimum=_MIN_CAPACITY):
@@ -89,10 +172,7 @@ def outlier_buffers(shape_prefix, chunk_max, dtypes):
     ``dtypes``: per-key dtypes from ``wire_dtypes``. Returns
     ``(capacity, buffers)`` zeroed so tail slots read as no-event padding."""
     cap_c = bucket_capacity(chunk_max)
-    bufs = {k: np.zeros(shape_prefix + (cap_c,), dtypes[k])
-            for k in ("xs", "ys", "ts", "ps")}
-    bufs["count"] = np.zeros(shape_prefix, dtypes["count"])
-    return cap_c, bufs
+    return cap_c, alloc_buffers(shape_prefix, cap_c, dtypes)
 
 
 def plan_capacity(counts, tail_frac=0.01, min_ratio=4, minimum=_MIN_CAPACITY):
@@ -160,25 +240,29 @@ def pack_windows(seq, indices, capacity=None, out=None, metas=None,
 
     t = len(indices)
     int_coords = np.issubdtype(seq.xy.dtype, np.integer)
+    resolution = getattr(seq, "sensor_resolution", None)
 
     native_ok = _native_eligible(seq)
     if out is None:
-        dt = wire_dtypes(wire, int_coords,
-                         getattr(seq, "sensor_resolution", None))
-        alloc = np.empty if native_ok else np.zeros
-        out = {k: alloc((t, capacity), dt[k])
-               for k in ("xs", "ys", "ts", "ps")}
-        out["count"] = alloc((t,), dt["count"])
+        dt = wire_dtypes(wire, int_coords, resolution)
+        out = alloc_buffers((t,), capacity, dt,
+                            alloc=np.empty if native_ok else np.zeros)
         zeroed = not native_ok
     else:
         # validate every buffer's shape, not just xs — the native packer
         # writes rows at stride `capacity` with no bounds check, so an
         # undersized ts/ps view from a stale pool would be heap corruption
-        for k in ("xs", "ys", "ts", "ps"):
-            assert out[k].shape == (t, capacity), (k, out[k].shape,
-                                                   (t, capacity))
+        for k in out:
+            if k != "count":
+                assert out[k].shape == (t, capacity), (k, out[k].shape,
+                                                       (t, capacity))
         assert out["count"].shape == (t,), (out["count"].shape, (t,))
         zeroed = bool(out_zeroed)
+
+    if "ev" in out:  # packed-u32 wire
+        return _pack_compact4(seq, metas, capacity, out, zeroed,
+                              resolution, native_ok), metas
+
     compact_ts = out["ts"].dtype == np.uint16
     u8_coords = out["xs"].dtype == np.uint8
     wire = "compact" if compact_ts else "f32"
@@ -242,3 +326,27 @@ def pack_windows(seq, indices, capacity=None, out=None, metas=None,
                               & 1) * 2 - 1
 
     return out, metas
+
+
+def _pack_compact4(seq, metas, capacity, out, zeroed, resolution, native_ok):
+    """compact4 leg of pack_windows: native fast path, numpy fallback."""
+    assert out["ev"].dtype == np.uint32 and out["count"].dtype == np.int32
+    if native_ok and out["ev"].flags["C_CONTIGUOUS"]:
+        idx0 = np.asarray([m["idx0"] for m in metas], np.int64)
+        idx1 = np.asarray([m["idx1"] for m in metas], np.int64)
+        if native.pack_compact4(seq.t, seq.xy, seq.p, idx0, idx1, capacity,
+                                resolution, out):
+            return out
+    for row, meta in enumerate(metas):
+        n = meta["event_count"]
+        out["count"][row] = n
+        if not zeroed:
+            out["ev"][row, n:] = 0
+        if n == 0:
+            continue
+        i0, i1 = meta["idx0"], meta["idx1"]
+        xy = seq.xy[i0:i1]
+        out["ev"][row, :n] = encode_compact4(
+            xy[:, 0], xy[:, 1], seq.t[i0:i1], np.asarray(seq.p[i0:i1]),
+            resolution)
+    return out

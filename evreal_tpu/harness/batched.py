@@ -105,13 +105,13 @@ class BatchedRunner:
         voxel_stage = self.voxel_stage
         dtype = self.dtype
 
-        def fn(params, state, xs, ys, ts, ps, count):
+        def fn(params, state, bufs):
             from evreal_tpu.harness import runner as runner_mod
             from evreal_tpu.harness.runner import matmul_precision_ctx
 
             with matmul_precision_ctx(dtype):
-                # inputs: (N, T, E) / count (N, T)
-                vox = jax.vmap(voxel_stage)(xs, ys, ts, ps, count)
+                # inputs: per-event buffers (N, T, E) / count (N, T)
+                vox = jax.vmap(voxel_stage)(bufs)
                 vox = crop.pad(vox)  # stage emits `dtype`; pad 0s are exact
                 vox = jnp.moveaxis(vox, 1, 0)  # (T, N, ph, pw, B)
 
@@ -134,10 +134,11 @@ class BatchedRunner:
 
             batch_spec = NamedSharding(self.mesh, P("dp"))
 
-            def sharded(params, state, *bufs):
-                bufs = [jax.lax.with_sharding_constraint(b, batch_spec)
-                        for b in bufs]
-                return fn(params, state, *bufs)
+            def sharded(params, state, bufs):
+                bufs = jax.tree.map(
+                    lambda b: jax.lax.with_sharding_constraint(b, batch_spec),
+                    bufs)
+                return fn(params, state, bufs)
 
             return jax.jit(sharded)
         return jax.jit(fn)
@@ -150,8 +151,7 @@ class BatchedRunner:
         if self._fn is None:
             self._fn = self._build()
         return compiled_cost(self._fn, self._params_cast, state,
-                             buffers["xs"], buffers["ys"], buffers["ts"],
-                             buffers["ps"], buffers["count"])
+                             dict(buffers))
 
     def run(self, state, buffers):
         # one jitted fn; jax.jit caches per input-shape signature
@@ -160,9 +160,7 @@ class BatchedRunner:
         staging.note_compute()
         if self._fn is None:
             self._fn = self._build()
-        return self._fn(self._params_cast, state, buffers["xs"],
-                        buffers["ys"], buffers["ts"],
-                        buffers["ps"], buffers["count"])
+        return self._fn(self._params_cast, state, dict(buffers))
 
     def quantize_u8(self, images):
         """Device-side PNG quantization (see MethodRunner.quantize_u8)."""
@@ -300,7 +298,8 @@ def eval_method_on_sequence_group(dataset_name, eval_config, method_name,
     # wire-format dtypes as emitted by pack_windows (int16 coords unless any
     # sequence has fractional on-disk coords, int8 +-1 polarity; EVREAL_WIRE=
     # compact narrows ts to u16 fractions and coords to u8 when the sensor
-    # fits) — the streamed loop is host->device-bound, so wire bytes are fps
+    # fits; compact4 packs each event into one u32) — the streamed loop is
+    # host->device-bound, so wire bytes are fps
     from evreal_tpu.data.packing import wire_dtypes, wire_format
 
     int_coords = all(np.issubdtype(seq.xy.dtype, np.integer) for seq in seqs)
@@ -312,14 +311,11 @@ def eval_method_on_sequence_group(dataset_name, eval_config, method_name,
     # chunk k is drained, i.e. right after chunk k+PIPELINE_DEPTH-1 is
     # dispatched, so PIPELINE_DEPTH+1 sets make reuse race-free even when
     # the CPU backend aliases numpy buffers zero-copy.
+    from evreal_tpu.data.packing import alloc_buffers
+
     n_pools = min(PIPELINE_DEPTH, max(max_chunks, 1)) + 1
-    buf_pool = [
-        {"xs": np.zeros((n_pad, chunk_t, capacity), dtypes["xs"]),
-         "ys": np.zeros((n_pad, chunk_t, capacity), dtypes["ys"]),
-         "ts": np.zeros((n_pad, chunk_t, capacity), dtypes["ts"]),
-         "ps": np.zeros((n_pad, chunk_t, capacity), dtypes["ps"]),
-         "count": np.zeros((n_pad, chunk_t), dtypes["count"])}
-        for _ in range(n_pools)]
+    buf_pool = [alloc_buffers((n_pad, chunk_t), capacity, dtypes)
+                for _ in range(n_pools)]
     # GT frames cross the tunnel as raw uint8 when every image-bearing
     # memmap stores u8 (runner.derefs converts on device, bit-identical
     # to Sequence.frame); hist-eq configs keep float32 pools because the
@@ -365,8 +361,7 @@ def eval_method_on_sequence_group(dataset_name, eval_config, method_name,
             if not idxs:
                 continue
             t = len(idxs)
-            views = {key: bufs[key][j, :t] for key in
-                     ("xs", "ys", "ts", "ps", "count")}
+            views = {key: bufs[key][j, :t] for key in bufs}
             pack_windows(seq, idxs, capacity=cap_c, out=views,
                          metas=[metas_all[j][i] for i in idxs],
                          out_zeroed=zeroed)

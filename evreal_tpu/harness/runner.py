@@ -63,21 +63,30 @@ PIPELINE_DEPTH = 8  # chunks in flight on device before the host drains one
 
 def make_voxel_stage(vox_fn, num_bins, hw, event_norm,
                      out_dtype=jnp.float32):
-    """Jittable (xs, ys, ts, ps, count) -> (T, H, W, B) voxel stage shared by
-    the grayscale and color runners.
+    """Jittable event-buffer-dict -> (T, H, W, B) voxel stage shared by the
+    grayscale and color runners.
 
-    Accepts the compact packed dtypes (int16 coords, int8 ±1 polarity,
-    float32 timestamps — see data/packing.py) and upcasts on device, where
-    the conversion fuses into the binning program; plain float32 buffers
-    also work (tests / synthetic paths). ``vox_fn`` may be a per-window
-    function (vmapped here) or a whole-chunk kernel marked with
+    ``bufs`` is a wire-format buffer dict (data/packing.py):
+    {xs, ys, ts, ps, count} on the f32/compact wires — compact packed
+    dtypes (int16/uint8 coords, int8 ±1 polarity, float32 or uint16
+    timestamps) upcast on device, where the conversion fuses into the
+    binning program — or {ev, count} on the packed-u32 compact4 wire,
+    decoded here (ops/voxelize.decode_compact4). ``vox_fn`` may be a
+    per-window function (vmapped here) or a whole-chunk kernel marked with
     ``windows_batched`` (the batched Pallas kernel)."""
     windows_batched = getattr(vox_fn, "windows_batched", False)
 
-    def stage(xs, ys, ts, ps, count):
-        if ts.dtype != jnp.uint16:  # compact wire: dtype carries semantics
-            ts = ts.astype(jnp.float32)  # (ops/voxelize._t_norm)
-        ps = ps.astype(jnp.float32)
+    def stage(bufs):
+        count = bufs["count"]
+        if "ev" in bufs:
+            from evreal_tpu.ops.voxelize import decode_compact4
+
+            xs, ys, ts, ps = decode_compact4(bufs["ev"], hw)
+        else:
+            xs, ys, ts, ps = bufs["xs"], bufs["ys"], bufs["ts"], bufs["ps"]
+            if ts.dtype != jnp.uint16:  # compact wire: dtype = semantics
+                ts = ts.astype(jnp.float32)  # (ops/voxelize._t_norm)
+            ps = ps.astype(jnp.float32)
 
         if windows_batched:
             vox = jnp.transpose(vox_fn(xs, ys, ts, ps, count, num_bins, hw),
@@ -479,9 +488,9 @@ class MethodRunner:
         voxel_stage = self.voxel_stage
         dtype = self.dtype
 
-        def fn(params, state, xs, ys, ts, ps, count):
+        def fn(params, state, bufs):
             with matmul_precision_ctx(dtype):
-                vox = voxel_stage(xs, ys, ts, ps, count)  # already `dtype`
+                vox = voxel_stage(bufs)  # already `dtype`
                 vox = crop.pad(vox)
 
                 # NOTE: ET-Net exposes encode_recurrent/decode_batched
@@ -515,8 +524,7 @@ class MethodRunner:
         if self._fn is None:
             self._fn = self._build()
         return compiled_cost(self._fn, self._params_cast, state,
-                             buffers["xs"], buffers["ys"], buffers["ts"],
-                             buffers["ps"], buffers["count"])
+                             dict(buffers))
 
     def run(self, state, buffers):
         # one jitted fn; jax.jit already caches compilations per
@@ -524,9 +532,7 @@ class MethodRunner:
         staging.note_compute()
         if self._fn is None:
             self._fn = self._build()
-        return self._fn(self._params_cast, state, buffers["xs"],
-                        buffers["ys"], buffers["ts"],
-                        buffers["ps"], buffers["count"])
+        return self._fn(self._params_cast, state, dict(buffers))
 
     def quantize_u8(self, images):
         """PNG quantization on device: ``round(clip(img,0,1)*255)`` uint8,
@@ -686,11 +692,9 @@ def eval_method_on_sequence(dataset_name, eval_config, method_name, bundle,
     dtypes = wire_dtypes(wire_format(),
                          np.issubdtype(seq.xy.dtype, np.integer),
                          seq.sensor_resolution)
-    buf_pool = [{"xs": np.zeros((chunk_t, capacity), dtypes["xs"]),
-                 "ys": np.zeros((chunk_t, capacity), dtypes["ys"]),
-                 "ts": np.zeros((chunk_t, capacity), dtypes["ts"]),
-                 "ps": np.zeros((chunk_t, capacity), dtypes["ps"]),
-                 "count": np.zeros((chunk_t,), dtypes["count"])}
+    from evreal_tpu.data.packing import alloc_buffers
+
+    buf_pool = [alloc_buffers((chunk_t,), capacity, dtypes)
                 for _ in range(n_pools)]
 
     # Metric arrays always span the full compiled chunk_t (refs zero-padded,
@@ -738,11 +742,11 @@ def eval_method_on_sequence(dataset_name, eval_config, method_name, bundle,
                                       out=views, out_zeroed=zeroed,
                                       metas=[metas_all[i] for i in chunk])
         if valid_t < chunk_t:  # pad last chunk to the compiled T
-            for key in ("xs", "ys", "ts", "ps"):
-                buffers[key] = np.pad(
-                    buffers[key], ((0, chunk_t - valid_t), (0, 0)))
-            buffers["count"] = np.pad(buffers["count"],
-                                      (0, chunk_t - valid_t))
+            for key in buffers:
+                buffers[key] = (np.pad(buffers[key], (0, chunk_t - valid_t))
+                                if key == "count" else
+                                np.pad(buffers[key],
+                                       ((0, chunk_t - valid_t), (0, 0))))
         return chunk, metas, buffers
 
     # upload-ahead staging: device_put every chunk (events + padded metric

@@ -28,7 +28,7 @@ COLOR_ORDER = ("R", "G", "B", "W")
 class ColorRunner:
     """Chunked color evaluation for one (model, full sensor resolution).
 
-    ``voxel_stage``: jittable (xs, ys, ts, ps, count) -> (T, H, W, B) voxels
+    ``voxel_stage``: jittable event-buffer-dict -> (T, H, W, B) voxels
     (shared with the grayscale MethodRunner, includes event normalization)."""
 
     def __init__(self, model, params, height, width, voxel_stage,
@@ -61,14 +61,14 @@ class ColorRunner:
         crop_half, crop_full = self.crop_half, self.crop_full
         voxel_stage = self.voxel_stage
 
-        def fn(params, state, xs, ys, ts, ps, count):
+        def fn(params, state, bufs):
             from evreal_tpu.harness.runner import matmul_precision_ctx
 
             with matmul_precision_ctx():
-                return inner(params, state, xs, ys, ts, ps, count)
+                return inner(params, state, bufs)
 
-        def inner(params, state, xs, ys, ts, ps, count):
-            voxels = voxel_stage(xs, ys, ts, ps, count)  # (T, H, W, B)
+        def inner(params, state, bufs):
+            voxels = voxel_stage(bufs)  # (T, H, W, B)
             color_stack = jnp.stack(
                 [voxels[:, CHANNEL_SLICES[c][0], CHANNEL_SLICES[c][1], :]
                  for c in COLOR_ORDER], axis=1)  # (T, 4, H/2, W/2, B)
@@ -97,9 +97,7 @@ class ColorRunner:
         staging.note_compute()
         if self._fn is None:
             self._fn = self._build()
-        return self._fn(self.params, state, buffers["xs"],
-                        buffers["ys"], buffers["ts"], buffers["ps"],
-                        buffers["count"])
+        return self._fn(self.params, state, dict(buffers))
 
     def merge_host(self, cimgs, gimgs):
         """Per-frame host merge -> float32 HWC BGR in [0,1] (reference

@@ -58,6 +58,7 @@ def load():
                     lib = ctypes.CDLL(path)
                     lib.evreal_pack_i16.restype = ctypes.c_int
                     lib.evreal_pack_compact.restype = ctypes.c_int
+                    lib.evreal_pack_compact4.restype = ctypes.c_int
                     lib.evreal_rank_equalize.restype = ctypes.c_int
                     _lib = lib
                 except OSError:
@@ -116,6 +117,39 @@ def pack_compact(ts, xy, p, idx0, idx1, capacity, u8_coords, out):
     if rc != 0:
         raise ValueError(
             "evreal_pack_compact: window exceeds capacity or bounds")
+    return True
+
+
+def pack_compact4(ts, xy, p, idx0, idx1, capacity, resolution, out):
+    """Packed-u32 wire fused pack (see pack_i16 for the array contract).
+    ``out`` holds {ev: (T, capacity) u32, count: (T,) i32}; ``resolution``
+    is the (h, w) that defines the index/timestamp bit split
+    (packing.compact4_layout). Returns True on success (False -> caller
+    should use the numpy fallback)."""
+    from evreal_tpu.data.packing import compact4_layout
+
+    lib = load()
+    if lib is None:
+        return False
+    layout = compact4_layout(resolution)
+    if layout is None:
+        return False
+    idx_bits, ts_bits = layout
+    t_rows = len(idx0)
+    idx0 = idx0.astype(ctypes.c_int64, copy=False)
+    idx1 = idx1.astype(ctypes.c_int64, copy=False)
+    rc = lib.evreal_pack_compact4(
+        ctypes.c_void_p(ts.ctypes.data), ctypes.c_void_p(xy.ctypes.data),
+        ctypes.c_void_p(p.ctypes.data), ctypes.c_int64(len(ts)),
+        ctypes.c_void_p(idx0.ctypes.data), ctypes.c_void_p(idx1.ctypes.data),
+        ctypes.c_int64(t_rows), ctypes.c_int64(capacity),
+        ctypes.c_int64(int(resolution[0])), ctypes.c_int64(int(resolution[1])),
+        ctypes.c_int(idx_bits), ctypes.c_int(ts_bits),
+        ctypes.c_void_p(out["ev"].ctypes.data),
+        ctypes.c_void_p(out["count"].ctypes.data))
+    if rc != 0:
+        raise ValueError(
+            "evreal_pack_compact4: window exceeds capacity or bounds")
     return True
 
 

@@ -142,4 +142,60 @@ int evreal_pack_compact(
   return 0;
 }
 
+// Packed-u32 wire (data/packing.py wire="compact4"): one uint32 per event —
+// linear pixel index y*w+x in the low idx_bits (out-of-range events park at
+// the h*w sentinel, which decodes to y >= h and is dropped by the device
+// bounds guard), the window-normalized timestamp fraction
+// q = rint((t - t0) / dt * (2^ts_bits - 1)) in the next ts_bits bits with
+// the degenerate dt < 1e-9 linspace encoded here, polarity sign in bit 31.
+// Bit-identical to packing.encode_compact4 (same f64 op order: one division
+// into `scale`, then per-event multiply + rint).
+int evreal_pack_compact4(
+    const double* ts, const int16_t* xy, const uint8_t* p,
+    int64_t num_events,
+    const int64_t* idx0, const int64_t* idx1, int64_t t_rows,
+    int64_t capacity, int64_t h, int64_t w, int idx_bits, int ts_bits,
+    uint32_t* out_ev, int32_t* out_count) {
+  const double qmax = static_cast<double>((1u << ts_bits) - 1u);
+  const uint32_t sentinel = static_cast<uint32_t>(h * w);
+  for (int64_t r = 0; r < t_rows; ++r) {
+    const int64_t i0 = idx0[r];
+    const int64_t i1 = idx1[r];
+    const int64_t n = i1 - i0;
+    if (i0 < 0 || i1 > num_events || n < 0 || n > capacity) return -1;
+    out_count[r] = static_cast<int32_t>(n);
+
+    uint32_t* row = out_ev + r * capacity;
+    const int16_t* exy = xy + 2 * i0;
+    const double* ets = ts + i0;
+    const uint8_t* ep = p + i0;
+
+    const double t0 = n > 0 ? ets[0] : 0.0;
+    const double dt = n > 0 ? ets[n - 1] - t0 : 0.0;
+    const bool degenerate = dt < 1e-9;
+    const double scale =
+        degenerate ? qmax / static_cast<double>(n > 1 ? n - 1 : 1)
+                   : qmax / dt;
+
+    for (int64_t i = 0; i < n; ++i) {
+      const int64_t x = exy[2 * i];
+      const int64_t y = exy[2 * i + 1];
+      const uint32_t idx =
+          (x >= 0 && x < w && y >= 0 && y < h)
+              ? static_cast<uint32_t>(y * w + x)
+              : sentinel;
+      double v = degenerate ? std::rint(static_cast<double>(i) * scale)
+                            : std::rint((ets[i] - t0) * scale);
+      if (v < 0.0) v = 0.0;
+      if (v > qmax) v = qmax;
+      const uint32_t q = static_cast<uint32_t>(v);
+      const uint32_t pbit = ep[i] > 0 ? 1u : 0u;
+      row[i] = idx | (q << idx_bits) | (pbit << 31);
+    }
+    const int64_t tail = capacity - n;
+    if (tail > 0) std::memset(row + n, 0, tail * sizeof(uint32_t));
+  }
+  return 0;
+}
+
 }  // extern "C"

@@ -40,6 +40,35 @@ import jax.numpy as jnp
 U16_TS_SCALE = 65535.0
 
 
+def decode_compact4(ev, sensor_size):
+    """Unpack the packed-u32 wire (data/packing.py wire="compact4") into the
+    (xs, ys, ts, ps) the voxelizers consume; fuses into the binning program.
+
+    Layout per event: linear pixel index in the low ``idx_bits``, timestamp
+    fraction in the next ``ts_bits`` (= ``31 - idx_bits`` capped at 16),
+    polarity sign in bit 31. The out-of-range sentinel ``h*w`` decodes to
+    ``y = h*w // w >= h`` and is dropped by the voxelizers' bounds guard.
+    The timestamp fraction is widened to the uint16 scale by bit
+    replication ``(q << (16 - n)) | (q >> (2n - 16))`` — the integer form
+    of ``round(q * 65535 / (2^n - 1))`` to within 1 ulp (exact at n = 16) —
+    so ``_t_norm``'s uint16 path applies unchanged."""
+    from evreal_tpu.data.packing import compact4_layout
+
+    h, w = sensor_size
+    idx_bits, ts_bits = compact4_layout((h, w))
+    idx = (ev & jnp.uint32((1 << idx_bits) - 1)).astype(jnp.int32)
+    xs = idx % w
+    ys = idx // w
+    q = jax.lax.shift_right_logical(ev, jnp.uint32(idx_bits)) \
+        & jnp.uint32((1 << ts_bits) - 1)
+    ts = ((q << jnp.uint32(16 - ts_bits))
+          | jax.lax.shift_right_logical(q, jnp.uint32(2 * ts_bits - 16))) \
+        .astype(jnp.uint16)
+    ps = jnp.where(jax.lax.shift_right_logical(ev, jnp.uint32(31)) != 0,
+                   jnp.float32(1), jnp.float32(-1))
+    return xs, ys, ts, ps
+
+
 def _t_norm(ts, count, num_bins):
     """Normalized temporal coordinate per event, in [0, num_bins - 1]."""
     if ts.dtype == jnp.uint16:  # compact wire: pre-normalized fraction

@@ -63,7 +63,7 @@ def _empty_window(float_coords=False):
 
 
 def _pack_window(xs, ys, ts, ps, capacity=None, float_coords=False,
-                 dtypes=None):
+                 dtypes=None, resolution=None):
     """One event window -> the runner's (T=1, E) packed buffers.
 
     ``ts`` may be absolute (zero-based here, float64 before the
@@ -74,6 +74,7 @@ def _pack_window(xs, ys, ts, ps, capacity=None, float_coords=False,
     inferred per push — an inferred dtype would flip the jit signature
     between pushes (e.g. an empty Python list packs float64) and each
     flip costs a fresh multi-minute compile on a degraded chip.
+    ``resolution``: (h, w), required for the packed-u32 compact4 wire.
     """
     n = len(xs)
     cap = capacity or bucket_capacity(n, _MIN_SERVE_CAPACITY)
@@ -81,6 +82,16 @@ def _pack_window(xs, ys, ts, ps, capacity=None, float_coords=False,
         raise ValueError(f"window of {n} events exceeds capacity {cap}")
     if dtypes is None:
         dtypes = wire_dtypes("f32", not float_coords)
+    if "ev" in dtypes:
+        from evreal_tpu.data.packing import encode_compact4
+
+        out = {"ev": np.zeros((1, cap), np.uint32),
+               "count": np.array([n], np.int32)}
+        if n:
+            out["ev"][0, :n] = encode_compact4(
+                np.asarray(xs), np.asarray(ys), np.asarray(ts, np.float64),
+                np.asarray(ps), resolution)
+        return out
     out = {"xs": np.zeros((1, cap), dtypes["xs"]),
            "ys": np.zeros((1, cap), dtypes["ys"]),
            "ts": np.zeros((1, cap), dtypes["ts"]),
@@ -232,7 +243,8 @@ class ReconEngine:
             st = self._get(sid)
             bufs = _pack_window(xs, ys, ts, ps,
                                 float_coords=st.float_coords,
-                                dtypes=st.dtypes)
+                                dtypes=st.dtypes,
+                                resolution=(st.runner.h, st.runner.w))
             state, _, clipped = st.runner.run(st.state, bufs)
             st.state = state
             st.frames += 1
@@ -304,11 +316,12 @@ class ReconEngine:
                                   _MIN_SERVE_CAPACITY)
             rows = [_pack_window(*w, capacity=cap,
                                  float_coords=g.float_coords,
-                                 dtypes=g.dtypes) for w in wins]
+                                 dtypes=g.dtypes,
+                                 resolution=(g.runner.h, g.runner.w))
+                    for w in wins]
             # each row is (T=1, E) / count (1,); stack to (N, T=1, E) and
             # count (N, T=1) — the BatchedRunner's buffer contract
-            bufs = {k: np.stack([r[k] for r in rows])
-                    for k in ("xs", "ys", "ts", "ps", "count")}
+            bufs = {k: np.stack([r[k] for r in rows]) for k in rows[0]}
             state, _, clipped = g.runner.run(g.state, bufs)
             g.state = state
             served = sum(1 for w in windows if w is not None)

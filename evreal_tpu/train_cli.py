@@ -122,8 +122,7 @@ def main(argv=None):
     stage = jax.jit(make_voxel_stage(vox_impl, args.num_bins, (h, w), False))
 
     def voxelize(buffers):
-        v = stage(buffers["xs"], buffers["ys"], buffers["ts"],
-                  buffers["ps"], buffers["count"])
+        v = stage(dict(buffers))
         return crop.pad(v)
 
     model, params = build(args.arch, args.num_bins)

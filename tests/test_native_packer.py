@@ -57,12 +57,12 @@ def test_compact_buffers_voxelize_like_float(seq_dir):
     seq = _k_seq(seq_dir)
     buffers, _ = pack_windows(seq, [0, 1, 2], capacity=1024)
     stage = make_voxel_stage(voxelize_scatter, 5, (48, 64), False)
-    vox_compact = stage(buffers["xs"], buffers["ys"], buffers["ts"],
-                        buffers["ps"], buffers["count"])
-    vox_float = stage(buffers["xs"].astype(np.float32),
-                      buffers["ys"].astype(np.float32),
-                      buffers["ts"], buffers["ps"].astype(np.float32),
-                      buffers["count"])
+    vox_compact = stage(buffers)
+    vox_float = stage({"xs": buffers["xs"].astype(np.float32),
+                       "ys": buffers["ys"].astype(np.float32),
+                       "ts": buffers["ts"],
+                       "ps": buffers["ps"].astype(np.float32),
+                       "count": buffers["count"]})
     np.testing.assert_allclose(np.asarray(vox_compact),
                                np.asarray(vox_float), atol=0)
     # every window's voxel mass equals its signed polarity-weight sum

@@ -79,11 +79,11 @@ def test_pallas_windows_through_voxel_stage():
     ps = (rng.integers(0, 2, (t, cap)) * 2 - 1).astype(np.int8)
     count = np.full((t,), 700, np.int32)
 
+    bufs = {"xs": xs, "ys": ys, "ts": ts, "ps": ps, "count": count}
     stage_p = make_voxel_stage(interp, b, (h, w), True)
     stage_s = make_voxel_stage(voxelize_scatter, b, (h, w), True)
     np.testing.assert_allclose(
-        np.asarray(stage_p(xs, ys, ts, ps, count)),
-        np.asarray(stage_s(xs, ys, ts, ps, count)), atol=2e-5)
+        np.asarray(stage_p(bufs)), np.asarray(stage_s(bufs)), atol=2e-5)
 
 
 def test_pallas_windows_large_sensor_tile_shrink():

@@ -73,13 +73,13 @@ def test_voxel_stage_out_dtype_same_rounding():
 
     h, w, t = 24, 32, 4
     bufs = _buffers(np.random.default_rng(3), 1, t, h, w, cap=256)
-    args = tuple(bufs[k][0] for k in ("xs", "ys", "ts", "ps", "count"))
+    args = {k: bufs[k][0] for k in ("xs", "ys", "ts", "ps", "count")}
     for event_norm in (False, True):
         f32 = make_voxel_stage(voxelize_scatter, 5, (h, w), event_norm)
         bf16 = make_voxel_stage(voxelize_scatter, 5, (h, w), event_norm,
                                 out_dtype=jnp.bfloat16)
-        out = bf16(*args)
+        out = bf16(args)
         assert out.dtype == jnp.bfloat16
         a = np.asarray(out)
-        b = np.asarray(f32(*args).astype(jnp.bfloat16))
+        b = np.asarray(f32(args).astype(jnp.bfloat16))
         assert np.array_equal(a, b)

@@ -13,6 +13,15 @@ from evreal_tpu.serve import ReconClient, ReconEngine, ReconServer
 H, W, NBINS = 32, 48, 5
 
 
+@pytest.fixture(autouse=True)
+def _f32_wire(monkeypatch):
+    """These tests assert bit-near streaming==offline equality against
+    hand-built f32 buffers; pin the strict-parity wire so they stay valid
+    when the ambient environment selects a quantizing wire. Wire-format
+    coverage (incl. serve's packer) lives in test_wire_compact.py."""
+    monkeypatch.setenv("EVREAL_WIRE", "f32")
+
+
 @pytest.fixture(scope="module")
 def model_params():
     return build_flagship_e2vid(seed=0)

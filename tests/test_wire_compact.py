@@ -1,11 +1,13 @@
-"""Compact wire format (EVREAL_WIRE=compact): uint16 window-normalized
-timestamps + uint8 coordinates when the sensor fits (data/packing.py).
+"""Compact wire formats (EVREAL_WIRE=compact / compact4): uint16
+window-normalized timestamps + uint8 coordinates when the sensor fits, and
+the packed one-u32-per-event wire (data/packing.py).
 
 Covers: dtype selection, numpy-path quantization values, native C++ packer
-bit-equivalence (both coordinate widths), out-of-range sentinel semantics,
-voxel-level error bound vs the f32 wire, and end-to-end score drift through
-the batched eval path (the number that justifies using the compact wire for
-serving: measured 3.9e-9 MSE / 6.2e-8 SSIM, far inside the 1e-3 parity budget).
+bit-equivalence (both coordinate widths and the packed wire), out-of-range
+sentinel semantics, voxel-level error bound vs the f32 wire, and end-to-end
+score drift through the batched eval path (the number that justifies using
+the compact wires for serving: measured 3.9e-9 MSE / 6.2e-8 SSIM for
+compact, same order for compact4 — far inside the 1e-3 parity budget).
 """
 
 import json
@@ -43,6 +45,8 @@ def test_wire_format_env(monkeypatch):
     assert wire_format() == "f32"
     monkeypatch.setenv("EVREAL_WIRE", "compact")
     assert wire_format() == "compact"
+    monkeypatch.setenv("EVREAL_WIRE", "compact4")
+    assert wire_format() == "compact4"
     monkeypatch.setenv("EVREAL_WIRE", "zstd")
     with pytest.raises(ValueError):
         wire_format()
@@ -156,10 +160,8 @@ def test_u8_sentinel_drops_oob_like_f32(tmp_path):
     cmp_, _ = pack_windows(seq, [0], wire="compact")
     assert cmp_["xs"].dtype == np.uint8
     assert cmp_["xs"][0, 3] == 255 and cmp_["xs"][0, 9] == 255
-    v_f32 = np.asarray(stage(f32["xs"], f32["ys"], f32["ts"], f32["ps"],
-                             f32["count"]))
-    v_cmp = np.asarray(stage(cmp_["xs"], cmp_["ys"], cmp_["ts"], cmp_["ps"],
-                             cmp_["count"]))
+    v_f32 = np.asarray(stage(f32))
+    v_cmp = np.asarray(stage(cmp_))
     np.testing.assert_allclose(v_cmp, v_f32, atol=2e-4)
     assert np.abs(v_cmp).sum() > 0
 
@@ -175,10 +177,8 @@ def test_voxel_error_bound_vs_f32(tmp_path):
     f32, metas = pack_windows(seq, idx, capacity=1024, wire="f32")
     cmp_, _ = pack_windows(seq, idx, capacity=1024, wire="compact")
     stage = make_voxel_stage(voxelize_scatter, 5, (48, 64), False)
-    v_f32 = np.asarray(stage(f32["xs"], f32["ys"], f32["ts"], f32["ps"],
-                             f32["count"]))
-    v_cmp = np.asarray(stage(cmp_["xs"], cmp_["ys"], cmp_["ts"], cmp_["ps"],
-                             cmp_["count"]))
+    v_f32 = np.asarray(stage(f32))
+    v_cmp = np.asarray(stage(cmp_))
     # ~600 events over 48x64x5 -> <=3 events/pixel-bin almost surely
     max_err = np.abs(v_cmp - v_f32).max()
     assert max_err < 5e-4, max_err
@@ -222,6 +222,171 @@ def test_end_to_end_score_drift(tmp_path, monkeypatch):
 
     (n_f, s_f) = run("f32")
     (n_c, s_c) = run("compact")
-    assert n_f == n_c and n_f > 0
+    (n_4, s_4) = run("compact4")
+    assert n_f == n_c == n_4 and n_f > 0
     for k in s_f:
         assert abs(s_f[k] - s_c[k]) < 1e-4, (k, s_f[k], s_c[k])
+        assert abs(s_f[k] - s_4[k]) < 1e-4, (k, s_f[k], s_4[k])
+
+
+# ---------------------------------------------------------------------------
+# packed-u32 compact4 wire
+# ---------------------------------------------------------------------------
+
+def test_compact4_layout_and_dtypes():
+    from evreal_tpu.data.packing import compact4_layout
+
+    assert compact4_layout((180, 240)) == (16, 15)   # ECD/HQF/NCaltech
+    assert compact4_layout((260, 346)) == (17, 14)   # MVSEC/CED
+    assert compact4_layout((8, 8)) == (7, 16)        # ts bits capped at 16
+    assert compact4_layout((1024, 1024)) is None     # < 12 ts bits
+    assert compact4_layout(None) is None
+    assert wire_dtypes("compact4", True, (180, 240)) == {
+        "ev": np.uint32, "count": np.int32}
+    # fractional coords / oversized sensors fall back to the compact wire
+    assert "ev" not in wire_dtypes("compact4", False, (180, 240))
+    big = wire_dtypes("compact4", True, (1024, 1024))
+    assert "ev" not in big and big["ts"] == np.uint16 \
+        and big["xs"] == np.int16
+
+
+def test_compact4_encoding_values(tmp_path, monkeypatch):
+    """Field-level decode of the numpy encoder: index, 15-bit ts fraction,
+    polarity bit — and bit-identity with the native packer."""
+    from evreal_tpu.data.packing import compact4_layout
+
+    seq = _make_seq(tmp_path, h=48, w=64, n=3000, seed=11)
+    idx_bits, ts_bits = compact4_layout((48, 64))
+    assert (idx_bits, ts_bits) == (12, 16)
+    got, metas = pack_windows(seq, [0, 1], capacity=1024, wire="compact4")
+    assert got["ev"].dtype == np.uint32
+    monkeypatch.setattr(native, "_lib", None)
+    want, _ = pack_windows(seq, [0, 1], capacity=1024, wire="compact4")
+    monkeypatch.undo()
+    np.testing.assert_array_equal(got["ev"], want["ev"])
+    np.testing.assert_array_equal(got["count"], want["count"])
+
+    m = metas[0]
+    n = m["event_count"]
+    ev = got["ev"][0, :n].astype(np.uint64)
+    xy = seq.xy[m["idx0"]:m["idx1"]]
+    p = np.asarray(seq.p[m["idx0"]:m["idx1"]])
+    idx = ev & ((1 << idx_bits) - 1)
+    np.testing.assert_array_equal(idx, xy[:, 1].astype(np.int64) * 64
+                                  + xy[:, 0])
+    np.testing.assert_array_equal(ev >> 31, p.astype(np.uint64))
+    q = (ev >> idx_bits) & ((1 << ts_bits) - 1)
+    ets = np.asarray(seq.t[m["idx0"]:m["idx1"]])
+    qmax = float((1 << ts_bits) - 1)
+    want_q = np.clip(np.rint((ets - ets[0])
+                             * (qmax / (ets[-1] - ets[0]))), 0, qmax)
+    np.testing.assert_array_equal(q, want_q.astype(np.uint64))
+    # zero tails past count
+    assert not got["ev"][0, n:].any()
+
+
+def test_compact4_sentinel_drops_oob(tmp_path):
+    """OOB coordinates park at the h*w sentinel and deposit nothing; the
+    voxel matches the f32 wire's."""
+    from evreal_tpu.harness.runner import make_voxel_stage
+    from evreal_tpu.ops.voxelize import voxelize_scatter
+
+    h, w, n = 40, 50, 64
+    rng = np.random.default_rng(0)
+    ts = np.sort(rng.uniform(0, 0.1, n)).astype(np.float64)
+    xy = np.stack([rng.integers(0, w, n), rng.integers(0, h, n)],
+                  1).astype(np.int16)
+    xy[3] = (-2, 5)
+    xy[9] = (300, 5)
+    xy[11] = (49, 45)  # x valid, y OOB
+    p = rng.integers(0, 2, n).astype(np.uint8)
+    np.save(tmp_path / "events_ts.npy", ts)
+    np.save(tmp_path / "events_xy.npy", xy)
+    np.save(tmp_path / "events_p.npy", p)
+    (tmp_path / "metadata.json").write_text(
+        json.dumps({"sensor_resolution": [h, w]}))
+    seq = Sequence(str(tmp_path),
+                   voxel_method={"method": "k_events", "k": n,
+                                 "sliding_window_w": 0})
+    f32b, _ = pack_windows(seq, [0], wire="f32")
+    c4, _ = pack_windows(seq, [0], wire="compact4")
+    from evreal_tpu.data.packing import compact4_layout
+
+    idx_bits, _ = compact4_layout((h, w))
+    sentinel = h * w
+    for i in (3, 9, 11):
+        assert int(c4["ev"][0, i]) & ((1 << idx_bits) - 1) == sentinel
+    stage = make_voxel_stage(voxelize_scatter, 5, (h, w), False)
+    v_f32 = np.asarray(stage(f32b))
+    v_c4 = np.asarray(stage(c4))
+    np.testing.assert_allclose(v_c4, v_f32, atol=3e-4)
+    assert np.abs(v_c4).sum() > 0
+
+
+def test_compact4_mvsec_scale_17bit_index(tmp_path):
+    """Sensors past 2^16 pixels use a 17-bit index / 14-bit timestamp; the
+    voxel still matches the f32 wire within the coarser ts quantization."""
+    from evreal_tpu.harness.runner import make_voxel_stage
+    from evreal_tpu.ops.voxelize import voxelize_scatter
+
+    h, w = 260, 346
+    seq = _make_seq(tmp_path, h=h, w=w, n=4000, seed=2)
+    f32b, _ = pack_windows(seq, [0, 1], capacity=1024, wire="f32")
+    c4, _ = pack_windows(seq, [0, 1], capacity=1024, wire="compact4")
+    stage = make_voxel_stage(voxelize_scatter, 5, (h, w), False)
+    v_f32 = np.asarray(stage(f32b))
+    v_c4 = np.asarray(stage(c4))
+    assert np.abs(v_c4 - v_f32).max() < 1e-3
+    assert np.abs(v_c4).sum() > 0
+
+
+def test_compact4_degenerate_window(tmp_path, monkeypatch):
+    """dt < 1e-9 windows encode the linspace spread host-side, native and
+    numpy bit-identical, voxel equal to the f32 wire's."""
+    from evreal_tpu.harness.runner import make_voxel_stage
+    from evreal_tpu.ops.voxelize import voxelize_scatter
+
+    n = 17
+    ts = np.full(n, 0.5, np.float64)
+    xy = np.stack([np.arange(n) % 8, np.arange(n) % 6], 1).astype(np.int16)
+    p = (np.arange(n) % 2).astype(np.uint8)
+    np.save(tmp_path / "events_ts.npy", ts)
+    np.save(tmp_path / "events_xy.npy", xy)
+    np.save(tmp_path / "events_p.npy", p)
+    (tmp_path / "metadata.json").write_text(
+        json.dumps({"sensor_resolution": [6, 8]}))
+    seq = Sequence(str(tmp_path),
+                   voxel_method={"method": "k_events", "k": n,
+                                 "sliding_window_w": 0})
+    got, _ = pack_windows(seq, [0], wire="compact4")
+    if native.load() is not None:
+        monkeypatch.setattr(native, "_lib", None)
+        want, _ = pack_windows(seq, [0], wire="compact4")
+        monkeypatch.undo()
+        np.testing.assert_array_equal(got["ev"], want["ev"])
+    f32b, _ = pack_windows(seq, [0], wire="f32")
+    stage = make_voxel_stage(voxelize_scatter, 5, (6, 8), False)
+    np.testing.assert_allclose(np.asarray(stage(got)),
+                               np.asarray(stage(f32b)), atol=2e-4)
+
+
+def test_serve_pack_window_compact4():
+    """serve's single-window packer emits the same u32 words as the data
+    layer's encoder, for {0,1} and ±1 polarity conventions."""
+    from evreal_tpu.data.packing import encode_compact4
+    from evreal_tpu.serve import _pack_window
+
+    h, w, n = 48, 64, 200
+    rng = np.random.default_rng(4)
+    xs = rng.integers(0, w, n).astype(np.int16)
+    ys = rng.integers(0, h, n).astype(np.int16)
+    ts = np.sort(rng.uniform(10.0, 10.5, n))
+    for ps in (rng.integers(0, 2, n).astype(np.uint8),
+               (rng.integers(0, 2, n) * 2 - 1).astype(np.int8)):
+        bufs = _pack_window(xs, ys, ts, ps,
+                            dtypes={"ev": np.uint32, "count": np.int32},
+                            resolution=(h, w))
+        assert bufs["ev"].dtype == np.uint32 and bufs["count"][0] == n
+        want = encode_compact4(xs, ys, np.asarray(ts, np.float64), ps,
+                               (h, w))
+        np.testing.assert_array_equal(bufs["ev"][0, :n], want)
