@@ -132,6 +132,45 @@ def _apply_norm(p, x, norm, tracked_in=True):
     return x
 
 
+def _up2x_axis(x, axis):
+    """Exact 2x bilinear upsample (half-pixel centers, edge clamp) along one
+    axis via the two-phase decomposition: out[2i] = .25 x[i-1] + .75 x[i],
+    out[2i+1] = .75 x[i] + .25 x[i+1]. Four fused multiply-adds per output
+    instead of the dense (in, out) interpolation matmul jax.image.resize
+    lowers to — same values, VPU-only."""
+    first = lax.slice_in_dim(x, 0, 1, axis=axis)
+    last = lax.slice_in_dim(x, x.shape[axis] - 1, x.shape[axis], axis=axis)
+    prev = lax.concatenate([first, lax.slice_in_dim(
+        x, 0, x.shape[axis] - 1, axis=axis)], axis)
+    nxt = lax.concatenate([lax.slice_in_dim(
+        x, 1, x.shape[axis], axis=axis), last], axis)
+    even = 0.25 * prev + 0.75 * x
+    odd = 0.75 * x + 0.25 * nxt
+    # interleave even/odd along `axis`
+    stacked = jnp.stack([even, odd], axis=axis + 1)
+    shape = list(x.shape)
+    shape[axis] *= 2
+    return stacked.reshape(shape)
+
+
+def upsample2x_bilinear(x):
+    """2x bilinear upsample of NHWC, bit-matching torch
+    F.interpolate(scale_factor=2, mode='bilinear', align_corners=False) up
+    to f32 rounding (the general path computes the same 4-tap blend through
+    jax.image.resize's interpolation matmul).
+
+    NOT dispatched by default: substituting it into the batched E2VID
+    lockstep program (b16, scan unroll 4) took the XLA TPU compile to
+    ~30-60 min vs ~25 s for the jax.image.resize form, and the compiled
+    program still measured ~5% slower in an interleaved A/B (2026-08-19,
+    BASELINE.md "Tried and rejected") — the pipelines are HBM-bound, so
+    removing the interpolation-matmul MXU passes buys nothing while the
+    interleave materializations cost bandwidth. Kept (with its parity
+    test) as the documented alternative for op-latency-bound deployments
+    off this toolchain."""
+    return _up2x_axis(_up2x_axis(x, 1), 2)
+
+
 def resize_bilinear(x, out_h, out_w):
     """torch F.interpolate(mode='bilinear', align_corners=False) equivalent
     (no antialiasing on downsample, half-pixel centers). x: NHWC."""

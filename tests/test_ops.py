@@ -120,3 +120,34 @@ def test_crop_params_fuzz_vs_reference():
             ref.pad(xt).numpy())
         np.testing.assert_array_equal(
             np.asarray(ours.crop(ours.pad(x))), x)
+
+
+def test_upsample2x_bilinear_matches_torch_and_general_path():
+    """The phase-decomposed 2x bilinear upsample (nn/layers.py, non-default
+    — see its docstring for the compile-stall finding) must match torch
+    F.interpolate(scale_factor=2, mode='bilinear', align_corners=False) —
+    the reference UpsampleConvLayer's resize (model/submodules.py:69-97) —
+    and the jax.image.resize path the models actually dispatch, including
+    edge rows/cols and odd sizes."""
+    import torch
+    import torch.nn.functional as F
+    import jax
+
+    from evreal_tpu.nn.layers import resize_bilinear, upsample2x_bilinear
+
+    rng = np.random.default_rng(3)
+    for h, w, c in [(7, 9, 2), (24, 31, 3), (1, 5, 1), (45, 60, 4)]:
+        x = rng.normal(size=(2, h, w, c)).astype(np.float32)
+        ours = np.asarray(upsample2x_bilinear(x))
+        ref = F.interpolate(torch.tensor(x.transpose(0, 3, 1, 2)),
+                            scale_factor=2, mode="bilinear",
+                            align_corners=False).numpy()
+        np.testing.assert_allclose(ours.transpose(0, 3, 1, 2), ref,
+                                   atol=1e-6, rtol=0)
+        general = np.asarray(jax.image.resize(
+            x, (2, 2 * h, 2 * w, c), method="bilinear", antialias=False))
+        np.testing.assert_allclose(ours, general, atol=1e-6, rtol=0)
+        # and resize_bilinear dispatches the 2x case to the same values
+        np.testing.assert_allclose(
+            np.asarray(resize_bilinear(x, 2 * h, 2 * w)), general,
+            atol=1e-6, rtol=0)
