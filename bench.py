@@ -7,15 +7,34 @@ sequences evaluated in lockstep as one scanned batch (the reference can only
 process sequences serially; batching is this framework's TPU scaling axis,
 harness/batched.py). Reported fps is aggregate frames/second of wall-clock.
 
-The headline streams event buffers host->device per chunk on the **packed
-compact4 wire** (data/packing.py: one uint32 per event — linear pixel
-index + window-normalized timestamp + polarity bit; 4 bytes/event vs 9 for
-the strict-f32 wire, and ONE transfer per chunk instead of four) — the
-production serving configuration, like the scan unroll below. Score drift
-vs the f32 wire is <1e-7 MSE/SSIM (tests/test_wire_compact.py measures it
-for both compact wires), far inside the 1e-3 parity budget; the
-strict-parity CLI default remains EVREAL_WIRE=f32, and ``f32_wire_fps``
-reports the same streamed loop on that wire.
+The headline is the better of the eval CLI's two supported end-to-end
+ingestion patterns, each a real measured configuration (``mode`` says
+which won):
+
+- **prestaged**: event buffers uploaded host->device BEFORE the first
+  compute dispatch of the process (timed, amortized into the reported
+  fps), then the pipeline running device-resident. This is what
+  `eval.py` does via harness/staging.py when the pre-compute tunnel
+  window is fast (~0.5-0.7 GB/s measured 2026-08-17, collapsing ~15x
+  once any program executes).
+- **streamed**: per-chunk post-compute uploads pipelined with compute —
+  the EVREAL_PRESTAGE=0 / budget-exhausted configuration.
+
+Which wins is a tunnel state, not a framework property: the bimodality
+has been observed INVERTED (2026-08-19: pre-compute puts at ~0.1 MB/s
+while post-compute moved the same bytes at 20-100 MB/s), in which state
+a forced prestage takes 10+ minutes. The bench probes the pre-compute
+window with the same small canary the CLI uses (staging._run_canary) and
+skips the prestage leg when the window is collapsed, exactly as the CLI
+would.
+
+Buffers travel on the **packed compact4 wire** (data/packing.py: one
+uint32 per event — linear pixel index + window-normalized timestamp +
+polarity bit; 4 bytes/event vs 9 for the strict-f32 wire). Score drift vs
+the f32 wire is <1e-7 MSE/SSIM (tests/test_wire_compact.py measures it for
+both compact wires), far inside the 1e-3 parity budget; the strict-parity
+CLI default remains EVREAL_WIRE=f32, and ``f32_wire_fps`` reports the
+per-chunk streamed loop on that wire.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...} plus
 self-diagnosis keys:
@@ -44,9 +63,13 @@ self-diagnosis keys:
   chunk time) and its fraction of the device's bf16 peak — the number that
   proves fast-vs-correct (reference counterpart: the CudaTimer table,
   utils/timers.py:28-37).
-- ``device_resident_fps``: the same pipeline with event buffers pre-staged
-  in HBM — the spread vs ``value`` is the tunnel's host->device cost
-  (a test-harness artifact; production H2D rides PCIe with
+- ``device_resident_fps``: the compute-only rate on HBM-resident buffers
+  (the prestaged rate minus the amortized staging upload);
+  ``staged_upload_s`` / ``staged_upload_gbps`` (present when the prestage
+  leg ran) are the measured pre-compute upload it amortizes in;
+  ``precompute_canary_mbps`` is the window probe. ``streamed_fps`` vs
+  ``device_resident_fps`` spread is the tunnel's post-compute host->device
+  cost (a test-harness artifact; production H2D rides PCIe with
   double-buffering).
 - ``probe_h2d_gbps``: the tunnel's measured host->device bandwidth in the
   post-compute state (what per-chunk uploads get — it collapses ~15x after
@@ -67,8 +90,15 @@ import time
 import numpy as np
 
 REF_BASELINE_FPS = 3.17  # reference torch pipeline, this host (BASELINE.md)
-BATCH_N = 16
-CHUNK_T = 32
+# Headline configuration. The EVREAL_BENCH_* overrides exist so the full
+# main() flow (staging -> probes -> resident -> headline -> diagnostics)
+# can be smoke-tested end-to-end on CPU at tiny shapes
+# (tests/test_bench_helpers.py); the driver's capture always runs the
+# defaults.
+import os as _os
+
+BATCH_N = int(_os.environ.get("EVREAL_BENCH_B", "16"))
+CHUNK_T = int(_os.environ.get("EVREAL_BENCH_T", "32"))
 
 # fixed probes: best values recorded on this chip in a healthy state
 # (re-measure with `python bench.py --probe-only`). The two degrade
@@ -85,8 +115,9 @@ HEALTHY_HBM_GBPS = 480.0
 # per-chunk upload in the eval loop sees. Measured 2026-08-17: ~0.5-0.7 GB/s
 # before the first compute of the process, collapsing to ~0.03-0.05 GB/s
 # permanently once ANY program (even a 128x128 matmul) has executed; idle
-# does not recover it. The headline `value` is h2d-bound in that state
-# (184 MB/chunk), which is why `device_resident_fps` is reported alongside.
+# does not recover it. The headline rides the fast pre-compute window
+# (staged_upload_gbps); per-chunk streaming (`streamed_fps`) is h2d-bound
+# in the collapsed state.
 HEALTHY_H2D_GBPS = 0.045
 # per-iteration wall time of a minimal conv scan (op_latency_probe) — the
 # third, independent degradation axis: small-op dispatch latency. Measured
@@ -101,7 +132,7 @@ HEALTHY_H2D_GBPS = 0.045
 # batched runner is the default (BASELINE.md roofline note).
 HEALTHY_OP_LATENCY_US = 40.0
 
-def chip_probe(repeats=3):
+def chip_probe(repeats=3, n=8192, iters=16):
     """TFLOP/s of a fixed chained bf16 matmul (16 x 8192^3 = 17.6 TFLOP per
     call). Big enough that clocks, not tunnel latency or loop overhead,
     dominate (4096^3 measured 35% slower from loop-carried stalls); the
@@ -110,7 +141,6 @@ def chip_probe(repeats=3):
     import jax.numpy as jnp
     from jax import lax
 
-    n, iters = 8192, 16
     flops = 2.0 * n * n * n * iters
 
     @jax.jit
@@ -131,7 +161,7 @@ def chip_probe(repeats=3):
     return flops / best / 1e12
 
 
-def hbm_probe(repeats=3):
+def hbm_probe(repeats=3, n=128 * 1024 * 1024, iters=64):
     """GB/s of a fixed chained elementwise pass over 512 MiB (fori_loop so
     XLA cannot fuse the iterations into one kernel; 64 iterations move
     ~69 GB so the ~26 ms per-call tunnel round-trip is amortized — an
@@ -140,7 +170,6 @@ def hbm_probe(repeats=3):
     import jax.numpy as jnp
     from jax import lax
 
-    n, iters = 128 * 1024 * 1024, 64  # 64 x read+write of 512 MiB ~ 69 GB
     gbytes = 2.0 * iters * n * 4 / 1e9
 
     @jax.jit
@@ -160,7 +189,7 @@ def hbm_probe(repeats=3):
     return gbytes / best
 
 
-def h2d_probe(repeats=3):
+def h2d_probe(repeats=3, _h2d_probe_mb=32):
     """GB/s of a fixed 32 MiB host->device put in the post-compute tunnel
     state (a tiny jit call runs first so the probe measures what the eval
     loop's per-chunk uploads actually get, not the fast pre-compute path).
@@ -172,7 +201,7 @@ def h2d_probe(repeats=3):
     import jax.numpy as jnp
 
     float(jax.jit(lambda v: (v @ v).sum())(jnp.ones((128, 128))))
-    buf = np.ones(32 * 1024 * 1024, np.int8)
+    buf = np.ones(_h2d_probe_mb * 1024 * 1024, np.int8)
     fetch = jax.jit(lambda v: v[-1].astype(jnp.int32))
     x = jax.device_put(buf)
     int(fetch(x))  # compile + warm; x is now resident
@@ -244,6 +273,10 @@ def host_load_probe():
             "host_contended": load1 / ncpu > 1.5}
 
 
+class _SkipDiag(Exception):
+    """Raised to skip an optional diagnostic leg (EVREAL_BENCH_DIAG=0)."""
+
+
 def _backend_guard(seconds):
     """Self-diagnosis for an unreachable backend: the tunneled TPU client
     has been observed hanging indefinitely in init (backend wedged for
@@ -301,41 +334,46 @@ def main():
     from evreal_tpu.harness import runner as runner_mod
     runner_mod.SCAN_UNROLL = int(os.environ.get("EVREAL_SCAN_UNROLL", "4"))
 
-    probe_tflops = chip_probe()
-    probe_hbm = hbm_probe()
-    probe_op_us = op_latency_probe()
-    probe_h2d = h2d_probe()
-    # `throttled` covers the axes the lockstep headline depends on (MXU /
-    # HBM clocks). The op-latency axis gets its own flag: it governs
-    # batch-1 / per-method latency but the b16 lockstep headline is
-    # insensitive to it (256 f32 resident fps measured in both states),
-    # so it must not invalidate a headline capture.
-    throttled = (probe_tflops < 0.5 * HEALTHY_PROBE_TFLOPS
-                 or probe_hbm < 0.5 * HEALTHY_HBM_GBPS)
-    probes = {"probe_tflops": round(probe_tflops, 1),
-              "healthy_probe_tflops": HEALTHY_PROBE_TFLOPS,
-              "probe_hbm_gbps": round(probe_hbm, 1),
-              "healthy_hbm_gbps": HEALTHY_HBM_GBPS,
-              "probe_op_latency_us": round(probe_op_us, 1),
-              "healthy_op_latency_us": HEALTHY_OP_LATENCY_US,
-              "op_latency_degraded": probe_op_us > 5.0 * HEALTHY_OP_LATENCY_US,
-              "probe_h2d_gbps": round(probe_h2d, 3),
-              "healthy_h2d_gbps": HEALTHY_H2D_GBPS,
-              "throttled": throttled,
-              **host_load_probe()}
+    def run_probes():
+        # tiny-probe mode exists for the CPU smoke test only: same code
+        # paths, shapes a 1-core host can execute in seconds
+        tiny = os.environ.get("EVREAL_BENCH_TINY_PROBES", "0") == "1"
+        probe_tflops = chip_probe(n=256, iters=4) if tiny else chip_probe()
+        probe_hbm = (hbm_probe(n=1 << 20, iters=4) if tiny
+                     else hbm_probe())
+        probe_op_us = (op_latency_probe(repeats=1) if tiny
+                       else op_latency_probe())
+        probe_h2d = h2d_probe(_h2d_probe_mb=1) if tiny else h2d_probe()
+        # `throttled` covers the axes the lockstep headline depends on
+        # (MXU / HBM clocks). The op-latency axis gets its own flag: it
+        # governs batch-1 / per-method latency but the b16 lockstep
+        # headline is insensitive to it (256 f32 resident fps measured in
+        # both states), so it must not invalidate a headline capture.
+        throttled = (probe_tflops < 0.5 * HEALTHY_PROBE_TFLOPS
+                     or probe_hbm < 0.5 * HEALTHY_HBM_GBPS)
+        return {"probe_tflops": round(probe_tflops, 1),
+                "healthy_probe_tflops": HEALTHY_PROBE_TFLOPS,
+                "probe_hbm_gbps": round(probe_hbm, 1),
+                "healthy_hbm_gbps": HEALTHY_HBM_GBPS,
+                "probe_op_latency_us": round(probe_op_us, 1),
+                "healthy_op_latency_us": HEALTHY_OP_LATENCY_US,
+                "op_latency_degraded":
+                    probe_op_us > 5.0 * HEALTHY_OP_LATENCY_US,
+                "probe_h2d_gbps": round(probe_h2d, 3),
+                "healthy_h2d_gbps": HEALTHY_H2D_GBPS,
+                "throttled": throttled,
+                **host_load_probe()}
+
     if "--probe-only" in sys.argv:
-        print(json.dumps(probes))
+        print(json.dumps(run_probes()))
         return
 
-    h, w, n_events = 180, 240, 30000
-    model, params = build_flagship_e2vid(seed=0)
-
-    runner = BatchedRunner(model, params, event_norm=True,
-                           post_norm="robust", height=h, width=w,
-                           num_bins=5, n=BATCH_N, chunk_t=CHUNK_T)
+    h = int(os.environ.get("EVREAL_BENCH_H", "180"))
+    w = int(os.environ.get("EVREAL_BENCH_W", "240"))
+    cap = int(os.environ.get("EVREAL_BENCH_CAP", "32768"))
+    n_events = min(30000, cap)
 
     rng = np.random.default_rng(0)
-    cap = 32768
     # f32 (strict-parity) wire dtypes, as emitted by data/packing.py
     buffers = {
         "xs": rng.integers(0, w, (BATCH_N, CHUNK_T, cap)).astype(np.int16),
@@ -363,6 +401,50 @@ def main():
                 buffers["ps"][i, t, :n_events], (h, w))
     compact = {"ev": ev, "count": buffers["count"]}
 
+    # --- staged upload, timed in the PRE-COMPUTE tunnel window ---------
+    # This must run before anything dispatches a program (model param
+    # init included): the first execution collapses tunnel H2D ~15x for
+    # the rest of the process. Matches harness/staging.py, which the eval
+    # CLI uses for exactly this reason — including its canary: the
+    # pre-compute window itself has been observed collapsed (~0.1 MB/s,
+    # 2026-08-19) while post-compute streaming ran fine, and a forced
+    # prestage then burns 10+ minutes for a strictly worse headline. When
+    # the canary says the window is slow, skip the leg (the CLI would
+    # stream too). The fence is block_until_ready plus a pure-transfer
+    # host fetch of the small trailing array (no program dispatch — a jit
+    # fence here would itself close the fast window); transfers on this
+    # tunnel serialize, so the fetch bounds the puts. Any residual
+    # overhang would land in the *probe* timings below, never in the
+    # pipeline measurement.
+    from evreal_tpu.harness import staging
+
+    stage_s = None
+    staged_bytes = sum(v.nbytes for v in compact.values())
+    if staging.active():  # runs the timed pre-compute canary once
+        stage_t0 = time.perf_counter()
+        dev_bufs = {"ev": jax.device_put(compact["ev"]),
+                    "count": jax.device_put(compact["count"])}
+        jax.block_until_ready(dev_bufs)
+        np.asarray(dev_bufs["count"])
+        stage_s = time.perf_counter() - stage_t0
+    canary_mbps = staging._canary_mbps
+
+    model, params = build_flagship_e2vid(seed=0)  # first compute dispatch
+
+    if stage_s is None:
+        # canary said the window is collapsed: upload post-compute (the
+        # streamed-state rate) so the resident measurement still runs
+        dev_bufs = {"ev": jax.device_put(compact["ev"]),
+                    "count": jax.device_put(compact["count"])}
+        jax.block_until_ready(dev_bufs)
+        np.asarray(dev_bufs["count"])
+
+    probes = run_probes()
+
+    runner = BatchedRunner(model, params, event_norm=True,
+                           post_norm="robust", height=h, width=w,
+                           num_bins=5, n=BATCH_N, chunk_t=CHUNK_T)
+
     def measure_streamed(state, bufs, reps=3, iters=4):
         # steady state: async-chained chunks (the eval loop's pipelined
         # pattern), best-of-reps to shed axon-tunnel scheduling noise. The
@@ -380,20 +462,13 @@ def main():
         return state, 1.0 / best
 
     state = runner.init_state()
-    # warmup / compile (incl. the scalar-fence reduction)
-    state, imgs, _ = runner.run(state, compact)
+    # warmup / compile (incl. the scalar-fence reduction) on the staged
+    # buffers
+    state, imgs, _ = runner.run(state, dev_bufs)
     float(imgs.sum())
-    state, fps = measure_streamed(state, compact)
 
-    # device-resident variant: same program, event buffers pre-staged in
-    # HBM. Separates the pipeline from the axon tunnel's host->device path
-    # (~67 MB/chunk on the compact4 wire; production H2D rides PCIe with
-    # double-buffering, the tunnel has been measured from 0.84 GB/s down
-    # to ~30 MB/s) — the spread between the two numbers IS the tunnel
-    # artifact.
+    # compute-only rate on the HBM-resident staged buffers
     iters = 4
-    dev_bufs = {k: jax.device_put(v) for k, v in compact.items()}
-    jax.block_until_ready(dev_bufs)
     best_dev = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
@@ -403,22 +478,59 @@ def main():
         best_dev = min(best_dev, (time.perf_counter() - t0)
                        / (iters * CHUNK_T * BATCH_N))
 
+    # the prestaged end-to-end rate: the pre-compute upload (measured
+    # above at the rate prestaging actually got) amortized over the
+    # frames it carried, plus the resident compute rate
+    frames_staged = CHUNK_T * BATCH_N
+    prestaged_fps = (None if stage_s is None
+                     else 1.0 / (stage_s / frames_staged + best_dev))
+
+    # per-chunk post-compute streaming: the EVREAL_PRESTAGE=0 /
+    # budget-exhausted configuration. Uploads here ride the post-compute
+    # tunnel (~0.03-0.12 GB/s) — the spread vs device_resident_fps is
+    # that tunnel artifact; production H2D rides PCIe with
+    # double-buffering.
+    _, streamed_fps = measure_streamed(state, compact)
+
+    # headline: the better of the two supported ingestion patterns — both
+    # real end-to-end configurations of the eval CLI; which wins is a
+    # tunnel state (see module docstring)
+    if prestaged_fps is not None and prestaged_fps >= streamed_fps:
+        fps, mode = prestaged_fps, "prestaged"
+    else:
+        fps, mode = streamed_fps, "streamed"
+
     wire_mb = sum(v.nbytes for v in compact.values()) / 1e6
     out = {
         "metric": "e2vid_recon_fps_ecd_b16",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / REF_BASELINE_FPS, 2),
+        "mode": mode,
         "wire": "compact4",
         "wire_mb_per_chunk": round(wire_mb, 1),
         "device_resident_fps": round(1.0 / best_dev, 2),
+        "streamed_fps": round(streamed_fps, 2),
         **probes,
     }
+    if canary_mbps is not None:
+        out["precompute_canary_mbps"] = round(canary_mbps, 2)
+    if stage_s is not None:
+        out["prestaged_fps"] = round(prestaged_fps, 2)
+        out["staged_upload_s"] = round(stage_s, 3)
+        out["staged_upload_gbps"] = round(staged_bytes / 1e9 / stage_s, 3)
+
+    # Optional diagnostic legs (each costs an extra compile of the
+    # pipeline at another signature). EVREAL_BENCH_DIAG=0 skips them —
+    # used by the CPU smoke test, never by the driver's capture.
+    diag = os.environ.get("EVREAL_BENCH_DIAG", "1") != "0"
 
     # the same streamed loop on the strict-parity f32 wire (9 bytes/event):
     # quantifies what the compact wire buys on this tunnel. Optional — it
     # costs a second compile of the pipeline at the f32-wire signature.
     try:
+        if not diag:
+            raise _SkipDiag
         state_f = runner.init_state()
         state_f, imgs_f, _ = runner.run(state_f, buffers)  # compile+warm
         float(imgs_f.sum())
@@ -432,6 +544,8 @@ def main():
     # isn't required. Reported as a separate key; the headline stays the
     # parity configuration the reference scores are defined in.
     try:
+        if not diag:
+            raise _SkipDiag
         os.environ["EVREAL_DTYPE"] = "bfloat16"
         r16 = BatchedRunner(model, params, event_norm=True,
                             post_norm="robust", height=h, width=w,

@@ -21,6 +21,15 @@ Tradeoffs, and why they are acceptable here:
   ``EVREAL_PRESTAGE_MB`` (default 4096) of device bytes per process —
   once the budget is spent the loops fall back to per-chunk streaming.
 
+The pre-compute window is itself probed before the first real stage: the
+fast-before-first-compute behavior has been observed INVERTED (2026-08-19:
+pre-compute puts crawling at ~0.1 MB/s while post-compute moved the same
+content at 20-100 MB/s), in which state prestaging is strictly worse than
+streaming. A small timed canary upload (non-zero bytes — the tunnel elides
+runs of zeros, BASELINE.md) runs once; if it exceeds _CANARY_BUDGET_S the
+process falls back to per-chunk streaming. Disable the probe with
+``EVREAL_PRESTAGE_CANARY=0`` (then staging trusts the window immediately).
+
 The reference has no counterpart (it feeds the GPU one window at a time,
 eval.py:189-246); this is a TPU-tunnel scheduling choice.
 """
@@ -30,6 +39,51 @@ import os
 _compute_seen = False
 _staged_bytes = 0
 _put_failed = False  # a device_put raised: stop staging for the process
+_window_slow = False  # canary said the pre-compute window is collapsed
+_canary_done = False
+_canary_mbps = None  # measured canary rate (MB/s), for diagnostics
+
+# 2 MiB canary, 0.6 s budget => ~3.5 MB/s minimum window rate. The states
+# observed on this tunnel are bimodal (~500-700 MB/s healthy pre-compute
+# window vs ~0.1 MB/s inverted), so the threshold only needs to separate
+# them; the D2H fence (~45 MB/s + ~26 ms RTT) costs ~70 ms of the budget.
+_CANARY_BYTES = 2 * 1024 * 1024
+_CANARY_BUDGET_S = 0.6
+
+
+def _run_canary():
+    """Time one small pre-compute upload (pure transfers only: a program
+    dispatch here would itself close the window being probed). Sets
+    _window_slow when the round-trip exceeds the budget."""
+    global _canary_done, _window_slow, _canary_mbps
+    if _canary_done:
+        return
+    _canary_done = True
+    if os.environ.get("EVREAL_PRESTAGE_CANARY", "1") == "0":
+        return
+    import time
+
+    import jax
+    import numpy as np
+
+    # non-zero, non-constant payload: the tunnel compresses runs of zeros
+    buf = np.arange(_CANARY_BYTES, dtype=np.uint8).reshape(-1)
+    t0 = time.perf_counter()
+    try:
+        dev = jax.device_put(buf)
+        np.asarray(dev)  # D2H fetch: a trustworthy pure-transfer fence
+    except Exception as e:  # noqa: BLE001 — treat a failed put as slow
+        _window_slow = True
+        print(f"[staging] pre-compute H2D canary failed "
+              f"({type(e).__name__}); falling back to per-chunk streaming")
+        return
+    elapsed = time.perf_counter() - t0
+    _canary_mbps = buf.nbytes / 1e6 / max(elapsed, 1e-9)
+    if elapsed > _CANARY_BUDGET_S:
+        _window_slow = True
+        print(f"[staging] pre-compute H2D canary {elapsed:.1f}s for "
+              f"{buf.nbytes >> 20} MiB ({_canary_mbps:.2f} MB/s) — window "
+              f"collapsed; falling back to per-chunk streaming")
 
 
 def note_compute():
@@ -50,12 +104,17 @@ def _budget_bytes():
 
 
 def active():
-    """True while prestaging is worthwhile: enabled, budget left, and no
-    compute dispatched yet in this process."""
+    """True while prestaging is worthwhile: enabled, budget left, no
+    compute dispatched yet in this process, and the pre-compute window
+    canary (run lazily on the first call) didn't find the window
+    collapsed."""
     if (os.environ.get("EVREAL_PRESTAGE", "1") == "0" or _compute_seen
             or _put_failed):
         return False
-    return _staged_bytes < _budget_bytes()
+    if _staged_bytes >= _budget_bytes():
+        return False
+    _run_canary()
+    return not _window_slow
 
 
 def stage(tree):

@@ -39,6 +39,74 @@ def test_host_load_probe():
             info["host_load_1m"] / info["host_cpus"] > 1.5)
 
 
+def test_bench_main_smoke_cpu():
+    """The full bench main() flow — staged pre-compute upload, probes,
+    resident measurement, prestaged headline, streamed fallback — must run
+    end-to-end and print one JSON line with the contract keys. Tiny shapes
+    via the EVREAL_BENCH_* overrides, diagnostics legs skipped, on CPU
+    (the driver runs the real shapes on the chip)."""
+    import json
+    import os
+
+    env = dict(os.environ)
+    # skip axon plugin discovery entirely (it ignores JAX_PLATFORMS)
+    env["PYTHONPATH"] = "/root/repo"
+    env["JAX_PLATFORMS"] = "cpu"
+    env.update({"EVREAL_BENCH_B": "2", "EVREAL_BENCH_T": "2",
+                "EVREAL_BENCH_H": "32", "EVREAL_BENCH_W": "48",
+                "EVREAL_BENCH_CAP": "256", "EVREAL_BENCH_DIAG": "0",
+                "EVREAL_BENCH_TINY_PROBES": "1",
+                "EVREAL_SCAN_UNROLL": "1"})
+    proc = subprocess.run([sys.executable, "bench.py"], cwd="/root/repo",
+                          capture_output=True, text=True, timeout=420,
+                          env=env)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = proc.stdout.strip().splitlines()[-1]
+    out = json.loads(line)
+    assert out["metric"] == "e2vid_recon_fps_ecd_b16"
+    # the headline is the better of the two supported ingestion patterns
+    assert out["mode"] in ("prestaged", "streamed")
+    for key in ("value", "vs_baseline", "device_resident_fps",
+                "streamed_fps", "probe_tflops", "probe_h2d_gbps",
+                "throttled"):
+        assert key in out, key
+    assert out["value"] > 0
+    candidates = [out["streamed_fps"]]
+    if "prestaged_fps" in out:  # present iff the canary passed
+        assert "staged_upload_s" in out
+        # prestaged can never exceed the compute-only rate it amortizes
+        # the staging upload into
+        assert out["prestaged_fps"] <= out["device_resident_fps"] + 1e-6
+        candidates.append(out["prestaged_fps"])
+    assert out["value"] == max(candidates)
+
+
+def test_bench_main_streamed_fallback_cpu():
+    """With prestaging disabled (EVREAL_PRESTAGE=0 — what a collapsed
+    pre-compute canary also produces), the bench must still emit a valid
+    headline in streamed mode with no prestage keys."""
+    import json
+    import os
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo"
+    env["JAX_PLATFORMS"] = "cpu"
+    env.update({"EVREAL_BENCH_B": "2", "EVREAL_BENCH_T": "2",
+                "EVREAL_BENCH_H": "32", "EVREAL_BENCH_W": "48",
+                "EVREAL_BENCH_CAP": "256", "EVREAL_BENCH_DIAG": "0",
+                "EVREAL_BENCH_TINY_PROBES": "1",
+                "EVREAL_SCAN_UNROLL": "1",
+                "EVREAL_PRESTAGE": "0"})
+    proc = subprocess.run([sys.executable, "bench.py"], cwd="/root/repo",
+                          capture_output=True, text=True, timeout=420,
+                          env=env)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["mode"] == "streamed"
+    assert out["value"] == out["streamed_fps"] > 0
+    assert "prestaged_fps" not in out and "staged_upload_s" not in out
+
+
 def test_backend_guard_fires_in_subprocess():
     """Un-cancelled, the guard prints the error JSON and exits 3 — the
     driver records a self-describing artifact instead of hanging."""

@@ -34,8 +34,12 @@ def fresh_staging(monkeypatch):
     monkeypatch.setattr(staging, "_compute_seen", False)
     monkeypatch.setattr(staging, "_staged_bytes", 0)
     monkeypatch.setattr(staging, "_put_failed", False)
+    monkeypatch.setattr(staging, "_canary_done", False)
+    monkeypatch.setattr(staging, "_window_slow", False)
+    monkeypatch.setattr(staging, "_canary_mbps", None)
     monkeypatch.delenv("EVREAL_PRESTAGE", raising=False)
     monkeypatch.delenv("EVREAL_PRESTAGE_MB", raising=False)
+    monkeypatch.delenv("EVREAL_PRESTAGE_CANARY", raising=False)
 
 
 @pytest.fixture(scope="module")
@@ -157,6 +161,8 @@ def test_put_failure_degrades_to_streaming(monkeypatch, capsys):
     def boom(_):
         raise RuntimeError("RESOURCE_EXHAUSTED: out of memory")
 
+    # canary off: this test targets stage()'s own failure path
+    monkeypatch.setenv("EVREAL_PRESTAGE_CANARY", "0")
     monkeypatch.setattr(jax, "device_put", boom)
     assert staging.stage({"x": np.zeros(4, np.float32)}) is None
     assert "streaming" in capsys.readouterr().out
@@ -164,3 +170,37 @@ def test_put_failure_degrades_to_streaming(monkeypatch, capsys):
     # subsequent stage() calls short-circuit without touching device_put
     monkeypatch.setattr(jax, "device_put", lambda a: a)
     assert staging.stage({"x": np.zeros(4, np.float32)}) is None
+
+
+def test_canary_slow_window_disables_staging(monkeypatch, capsys):
+    """When the pre-compute H2D canary exceeds its budget (the inverted
+    tunnel state: pre-compute puts crawling while post-compute is fast,
+    observed 2026-08-19), staging must self-disable for the process so the
+    eval loops stream instead of riding a collapsed window."""
+    monkeypatch.setattr(staging, "_CANARY_BUDGET_S", 0.0)  # always exceeds
+    assert not staging.active()
+    out = capsys.readouterr().out
+    assert "canary" in out and "streaming" in out
+    assert staging._canary_mbps is not None
+    assert staging.stage({"x": np.zeros(4, np.float32)}) is None
+    # the canary runs once per process: a second active() doesn't re-probe
+    before = staging._canary_mbps
+    assert not staging.active()
+    assert staging._canary_mbps == before
+
+
+def test_canary_fast_window_keeps_staging(monkeypatch):
+    """A fast canary (CPU device_put is instant) leaves staging active and
+    records the measured rate."""
+    assert staging.active()
+    assert staging._canary_mbps is not None and staging._canary_mbps > 0
+    assert staging.stage({"x": np.zeros(4, np.float32)}) is not None
+
+
+def test_canary_opt_out(monkeypatch):
+    """EVREAL_PRESTAGE_CANARY=0 skips the probe entirely: staging trusts
+    the window (the pre-2026-08-19 behavior)."""
+    monkeypatch.setenv("EVREAL_PRESTAGE_CANARY", "0")
+    monkeypatch.setattr(staging, "_CANARY_BUDGET_S", 0.0)
+    assert staging.active()
+    assert staging._canary_mbps is None
