@@ -43,12 +43,27 @@ def _res_block(p, x):
 
 
 def _spade(p, x, segmap):
-    """SPADE (spade_e2v.py:45-76): BN(affine=False) modulated by segmap."""
+    """SPADE (spade_e2v.py:45-76): BN(affine=False) modulated by segmap.
+
+    The gamma and beta convs read the same shared activation, so they fuse
+    into one conv at apply time (kernels concatenated along the output
+    axis — channelwise-identical math, the same lever as the ConvGRU gate
+    fusion in nn/cells.py; params stay keyed by the reference's separate
+    module paths)."""
     normalized = batch_norm(p["param_free_norm"], x)
     seg = resize_nearest(segmap, x.shape[1], x.shape[2])
     actv = jax.nn.relu(conv2d(p["mlp_shared"]["0"], seg, padding=1))
-    gamma = conv2d(p["mlp_gamma"], actv, padding=1)
-    beta = conv2d(p["mlp_beta"], actv, padding=1)
+    g, b = p["mlp_gamma"], p["mlp_beta"]
+    g_bias, b_bias = g.get("bias"), b.get("bias")
+    if (g_bias is None) == (b_bias is None):
+        fused = {"weight": jnp.concatenate([g["weight"], b["weight"]],
+                                           axis=3)}
+        if g_bias is not None:
+            fused["bias"] = jnp.concatenate([g_bias, b_bias])
+        gamma, beta = jnp.split(conv2d(fused, actv, padding=1), 2, axis=-1)
+    else:  # mismatched bias presence: keep the reference's separate convs
+        gamma = conv2d(g, actv, padding=1)
+        beta = conv2d(b, actv, padding=1)
     return normalized * (1 + gamma) + beta
 
 

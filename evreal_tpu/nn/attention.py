@@ -17,14 +17,42 @@ from evreal_tpu.nn.layers import layer_norm, linear
 
 
 def multihead_attention(p, q_in, k_in, v_in, num_heads):
+    """Input projections fuse by argument identity (a trace-time Python
+    property): self-attention (q_in is k_in is v_in) runs ONE packed
+    matmul against the whole in_proj_weight; cross-attention with shared
+    memory (k_in is v_in — every reference call site) packs k/v. Each
+    output column is an independent reduction, so the fused form is
+    channelwise-identical to torch's equally-packed in_proj — and 1-2
+    dispatches instead of 3, a real lever for ET-Net's 21 attention
+    blocks/frame in the op-dispatch-bound batch-1 regime."""
     n, lq, e = q_in.shape
     lk = k_in.shape[1]
     d = e // num_heads
-    wq, wk, wv = jnp.split(p["in_proj_weight"], 3, axis=1)
-    bq, bk, bv = jnp.split(p["in_proj_bias"], 3)
-    q = (q_in @ wq + bq).reshape(n, lq, num_heads, d)
-    k = (k_in @ wk + bk).reshape(n, lk, num_heads, d)
-    v = (v_in @ wv + bv).reshape(n, lk, num_heads, d)
+    w, bias = p["in_proj_weight"], p["in_proj_bias"]
+    if q_in is k_in and k_in is v_in:
+        q, k, v = jnp.split((q_in @ w + bias).reshape(n, lq, 3, num_heads, d),
+                            3, axis=2)
+        q, k, v = q.squeeze(2), k.squeeze(2), v.squeeze(2)
+    elif k_in is v_in:
+        wq, wkv = jnp.split(w, [e], axis=1)
+        bq, bkv = bias[:e], bias[e:]
+        q = (q_in @ wq + bq).reshape(n, lq, num_heads, d)
+        k, v = jnp.split((k_in @ wkv + bkv).reshape(n, lk, 2, num_heads, d),
+                         2, axis=2)
+        k, v = k.squeeze(2), v.squeeze(2)
+    elif q_in is k_in:  # post-LN self-attn: q=k share the embed, v doesn't
+        wqk, wv = jnp.split(w, [2 * e], axis=1)
+        q, k = jnp.split(
+            (q_in @ wqk + bias[:2 * e]).reshape(n, lq, 2, num_heads, d),
+            2, axis=2)
+        q, k = q.squeeze(2), k.squeeze(2)
+        v = (v_in @ wv + bias[2 * e:]).reshape(n, lk, num_heads, d)
+    else:
+        wq, wk, wv = jnp.split(w, 3, axis=1)
+        bq, bk, bv = jnp.split(bias, 3)
+        q = (q_in @ wq + bq).reshape(n, lq, num_heads, d)
+        k = (k_in @ wk + bk).reshape(n, lk, num_heads, d)
+        v = (v_in @ wv + bv).reshape(n, lk, num_heads, d)
     logits = jnp.einsum("nqhd,nkhd->nhqk", q, k) / np.sqrt(d).astype(q.dtype)
     attn = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("nhqk,nkhd->nqhd", attn, v).reshape(n, lq, e)
