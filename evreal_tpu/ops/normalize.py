@@ -8,6 +8,8 @@
     interpolation, which ``jnp.percentile`` matches.
 """
 
+import os
+
 import jax.numpy as jnp
 
 
@@ -23,8 +25,19 @@ def normalize_event_tensor(voxel):
 
 
 def robust_normalize(img, q_min, q_max):
-    lo = jnp.percentile(img.ravel(), q_min)
-    hi = jnp.percentile(img.ravel(), q_max)
+    flat = img.ravel()
+    if os.environ.get("EVREAL_PCT", "bits") == "sort":
+        # reference-shaped lowering (full per-frame lax.sort) — kept as an
+        # A/B control; same order stats as the default, lerp differs only
+        # by XLA FMA contraction (~1 ulp)
+        lo = jnp.percentile(flat, q_min)
+        hi = jnp.percentile(flat, q_max)
+    else:
+        from evreal_tpu.ops.percentile import percentiles
+
+        # sort-free exact percentiles (ops/percentile.py): same bits,
+        # ~30% of the b128 lockstep frame time back (BASELINE.md)
+        lo, hi = percentiles(flat, (q_min, q_max))
     return (img - lo) / (hi - lo)
 
 
