@@ -59,10 +59,12 @@ self-diagnosis keys:
   ``device_resident_fps``; the MXU/HBM probes (single long device
   programs) are far less sensitive.
 - ``model_tflops_per_s`` / ``mfu_vs_bf16_peak``: achieved FLOP/s of the
-  pipeline program (XLA cost analysis of the compiled chunk / measured
-  chunk time) and its fraction of the device's bf16 peak — the number that
-  proves fast-vs-correct (reference counterpart: the CudaTimer table,
-  utils/timers.py:28-37).
+  pipeline program (trip-count-aware cost composition — XLA's compiled
+  cost_analysis counts ``while`` bodies once and undercounted the looped
+  chunk program 9-24x, BASELINE.md "MFU accounting" — over measured
+  device-resident chunk time) and its fraction of the device's bf16 peak —
+  the number that proves fast-vs-correct (reference counterpart: the
+  CudaTimer table, utils/timers.py:28-37).
 - ``device_resident_fps``: the compute-only rate on HBM-resident buffers
   (the prestaged rate minus the amortized staging upload);
   ``staged_upload_s`` / ``staged_upload_gbps`` (present when the prestage

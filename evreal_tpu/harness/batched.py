@@ -80,6 +80,10 @@ class BatchedRunner:
                else voxelize_scatter)
         from evreal_tpu.harness.runner import cast_params, compute_dtype
 
+        self._vox_impl = "matmul" if impl in ("matmul", "pallas") \
+            else "scatter"
+        self.num_bins = num_bins
+        self.event_norm = event_norm
         self.dtype = compute_dtype()
         # out_dtype inside the stage: the vmapped (N,T,H,W,B) voxel buffer
         # is materialized in the serving dtype (the largest allocation in
@@ -144,14 +148,57 @@ class BatchedRunner:
         return jax.jit(fn)
 
     def cost_analysis(self, state, buffers):
-        """(flops, bytes_accessed) XLA estimates of one ``run`` call at
-        these shapes, or (None, None) — see utils.mfu.compiled_cost."""
-        from evreal_tpu.utils.mfu import compiled_cost
+        """Trip-count-aware (flops, bytes_accessed) XLA estimates of one
+        ``run`` call at these shapes, or (None, None).
 
-        if self._fn is None:
-            self._fn = self._build()
-        return compiled_cost(self._fn, self._params_cast, state,
-                             dict(buffers))
+        Same composition as MethodRunner.cost_analysis (see its docstring:
+        XLA counts ``while`` bodies once, so the compiled chunk program's
+        own figure undercounts 10-25x): one voxel window x N*chunk_t, one
+        batch-N model step x chunk_t, the post stage once — each a
+        loop-free program compiled on the host CPU backend."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from evreal_tpu.harness.runner import (
+            loop_free_voxelize_fn,
+            make_voxel_stage,
+            matmul_precision_ctx,
+        )
+        from evreal_tpu.ops.normalize import post_process_normalization
+        from evreal_tpu.utils.mfu import composed_cost
+
+        t, n = self.chunk_t, self.n
+        bufs1 = {k: jax.ShapeDtypeStruct((1,) + tuple(v.shape[2:]),
+                                         np.result_type(v))
+                 for k, v in buffers.items()}
+        stage1 = make_voxel_stage(loop_free_voxelize_fn(self._vox_impl),
+                                  self.num_bins, (self.h, self.w),
+                                  self.event_norm, out_dtype=self.dtype)
+        ph, pw = self.crop.padded_shape
+        vox_sd = jax.ShapeDtypeStruct((n, ph, pw, self.num_bins), self.dtype)
+        imgs_sd = jax.ShapeDtypeStruct((t, n, ph, pw, 1), self.dtype)
+        model, crop, post_norm, dtype = (self.model, self.crop,
+                                         self.post_norm, self.dtype)
+
+        def step(params, st, v):
+            with matmul_precision_ctx(dtype):
+                out, st = model.apply(params, st, v)
+                return st, out["image"]
+
+        def post(imgs):
+            with matmul_precision_ctx(dtype):
+                x = jnp.moveaxis(imgs.astype(jnp.float32), 0, 1)
+                x = crop.crop(x)[..., 0]
+                x = jax.vmap(jax.vmap(
+                    lambda im: post_process_normalization(im,
+                                                          post_norm)))(x)
+                return x, jnp.clip(x, 0.0, 1.0)
+
+        return composed_cost([
+            (stage1, (bufs1,), n * t),
+            (step, (self._params_cast, state, vox_sd), t),
+            (post, (imgs_sd,), 1),
+        ])
 
     def run(self, state, buffers):
         # one jitted fn; jax.jit caches per input-shape signature

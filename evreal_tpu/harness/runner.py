@@ -73,8 +73,23 @@ def make_voxel_stage(vox_fn, num_bins, hw, event_norm,
     binning program — or {ev, count} on the packed-u32 compact4 wire,
     decoded here (ops/voxelize.decode_compact4). ``vox_fn`` may be a
     per-window function (vmapped here) or a whole-chunk kernel marked with
-    ``windows_batched`` (the batched Pallas kernel)."""
+    ``windows_batched`` (the batched Pallas kernel).
+
+    EVREAL_VOXEL_PRECISION (highest|high|default) overrides the matmul
+    voxelizer's binning-dot precision (ops/voxelize.voxelize_matmul
+    docstring; default HIGH — the strict-parity choice)."""
     windows_batched = getattr(vox_fn, "windows_batched", False)
+    if vox_fn is voxelize_matmul:
+        env = os.environ.get("EVREAL_VOXEL_PRECISION")
+        if env is not None:
+            if env not in ("highest", "high", "default"):
+                raise ValueError(f"EVREAL_VOXEL_PRECISION={env!r}: expected "
+                                 "highest|high|default")
+            import functools
+
+            vox_fn = functools.partial(
+                voxelize_matmul,
+                precision=getattr(jax.lax.Precision, env.upper()))
 
     def stage(bufs):
         count = bufs["count"]
@@ -121,6 +136,24 @@ def default_voxelize_impl():
     if env in ("matmul", "scatter", "pallas"):
         return env
     return "matmul" if jax.default_backend() == "tpu" else "scatter"
+
+
+def loop_free_voxelize_fn(impl):
+    """Single-trip variant of the voxelizer for cost accounting.
+
+    ``voxelize_matmul``'s event-chunk lax.scan compiles to a ``while`` whose
+    body XLA's cost_analysis counts once; with ``chunk`` >= capacity the scan
+    is one trip, so count-body-once is exact — and the one-hot matmul's
+    total FLOPs are chunking-invariant (2*E*num_bins*H*W either way). The
+    Pallas kernel does the same logical work as the matmul and can't compile
+    on the CPU cost backend, so it's priced as the matmul."""
+    if impl == "scatter":
+        return voxelize_scatter
+
+    def vox(x, y, t, p, c, nb, hw):
+        return voxelize_matmul(x, y, t, p, c, nb, hw, chunk=1 << 30)
+
+    return vox
 
 
 def resolve_voxelize_fn(impl):
@@ -468,6 +501,7 @@ class MethodRunner:
         self.crop = CropParams(width, height, model.num_encoders)
         if voxelize_impl is None:
             voxelize_impl = default_voxelize_impl()
+        self._vox_impl = voxelize_impl
         self._vox = resolve_voxelize_fn(voxelize_impl)
         self.dtype = compute_dtype()
         self.voxel_stage = make_voxel_stage(self._vox, num_bins,
@@ -517,14 +551,51 @@ class MethodRunner:
         return jax.jit(fn)
 
     def cost_analysis(self, state, buffers):
-        """(flops, bytes_accessed) XLA estimates of one ``run`` call at
-        these shapes, or (None, None) — see utils.mfu.compiled_cost."""
-        from evreal_tpu.utils.mfu import compiled_cost
+        """Trip-count-aware (flops, bytes_accessed) XLA estimates of one
+        ``run`` call at these shapes, or (None, None).
 
-        if self._fn is None:
-            self._fn = self._build()
-        return compiled_cost(self._fn, self._params_cast, state,
-                             dict(buffers))
+        NOT the compiled chunk program's own cost_analysis: XLA counts a
+        ``while`` body once, and the chunk program loops twice (model scan
+        over chunk_t windows; the voxelizer's event-chunk scan), so the
+        whole-program figure undercounted FLOPs 10-25x vs the profiler's
+        per-kernel roofline (BASELINE.md "MFU accounting"). Each loop body
+        is costed as its own loop-free program — compiled on the host CPU
+        backend, so the diagnostic never costs a chip compile — and scaled
+        by its trip count (utils.mfu.composed_cost). Reference
+        counterpart: the CudaTimer ms table (utils/timers.py:28-37), which
+        has no efficiency denominator at all."""
+        from evreal_tpu.utils.mfu import composed_cost
+
+        t = int(next(iter(buffers.values())).shape[0])
+        bufs1 = {k: jax.ShapeDtypeStruct((1,) + tuple(v.shape[1:]),
+                                         np.result_type(v))
+                 for k, v in buffers.items()}
+        stage1 = make_voxel_stage(loop_free_voxelize_fn(self._vox_impl),
+                                  self.num_bins, (self.h, self.w),
+                                  self.event_norm, out_dtype=self.dtype)
+        ph, pw = self.crop.padded_shape
+        vox_sd = jax.ShapeDtypeStruct((1, ph, pw, self.num_bins), self.dtype)
+        imgs_sd = jax.ShapeDtypeStruct((t, ph, pw, 1), self.dtype)
+        model, crop, post_norm, dtype = (self.model, self.crop,
+                                         self.post_norm, self.dtype)
+
+        def step(params, st, v):
+            with matmul_precision_ctx(dtype):
+                out, st = model.apply(params, st, v)
+                return st, out["image"]
+
+        def post(imgs):
+            with matmul_precision_ctx(dtype):
+                x = crop.crop(imgs.astype(jnp.float32))[..., 0]
+                x = jax.vmap(lambda im: post_process_normalization(
+                    im, post_norm))(x)
+                return x, jnp.clip(x, 0.0, 1.0)
+
+        return composed_cost([
+            (stage1, (bufs1,), t),
+            (step, (self._params_cast, state, vox_sd), t),
+            (post, (imgs_sd,), 1),
+        ])
 
     def run(self, state, buffers):
         # one jitted fn; jax.jit already caches compilations per

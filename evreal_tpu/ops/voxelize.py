@@ -152,13 +152,23 @@ def _event_rows_cols(xs, ys, ts, ps, count, num_bins, h, w):
 
 
 def voxelize_matmul(xs, ys, ts, ps, count, num_bins, sensor_size,
-                    chunk=4096):
+                    chunk=4096, precision=None):
     """MXU one-hot-matmul voxelization, numerically equal to the scatter path.
 
     Each event contributes to (bin_lo, y) and (bin_hi, y) rows of a combined
     (num_bins * H) row space; the voxel is the accumulation of
     ``rows^T @ cols`` over event chunks.
+
+    ``precision``: dot precision for the binning contraction; None = HIGH
+    (3 bf16 MXU passes, ~2e-5 voxel error — the strict-parity default, see
+    the body comment). DEFAULT (1 pass) only rounds the interpolation
+    weights folded into the row factor to bf16 (~4e-3 relative), the same
+    order as the bf16 cast the serving pipeline applies anyway — the
+    harness selects it when the stage materializes bf16
+    (runner.make_voxel_stage, EVREAL_VOXEL_PRECISION).
     """
+    if precision is None:
+        precision = jax.lax.Precision.HIGH
     h, w = sensor_size
     e = xs.shape[0]
     if e == 0:  # zero-capacity buffer: _t_norm would index ts[0]
@@ -192,7 +202,7 @@ def voxelize_matmul(xs, ys, ts, ps, count, num_bins, sensor_size,
             oh_rows, oh_cols,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGH,
+            precision=precision,
         )
         return acc, None
 

@@ -102,7 +102,7 @@ def make_full_size_checkpoints(root, methods):
 
 
 def bench_method(method, ckpt_path, h=180, w=240, n_events=30000,
-                 chunk_t=32, iters=8, repeats=3):
+                 chunk_t=32, iters=8, repeats=3, flops_only=False):
     import jax
 
     from evreal_tpu.convert import load_method_checkpoint, nest
@@ -132,6 +132,12 @@ def bench_method(method, ckpt_path, h=180, w=240, n_events=30000,
     buffers["ts"] -= buffers["ts"][:, :1]
 
     state = runner.init_state()
+    if flops_only:
+        # cost accounting runs entirely on the CPU backend (loop-aware
+        # composition, runner.cost_analysis) — no chip required
+        flops_chunk, bytes_chunk = runner.cost_analysis(state, buffers)
+        return (flops_chunk / chunk_t if flops_chunk else None,
+                bytes_chunk / chunk_t if bytes_chunk else None)
     state, imgs, clipped = runner.run(state, buffers)
     float(clipped.sum())  # compile + fence
 
@@ -166,7 +172,29 @@ def main():
                     "multi-method process accumulates tunnel/backend state "
                     "and later methods measure up to 3x slower (SPADE-E2VID "
                     "96 ms mid-sweep vs 29 ms alone, same chip, 2026-08-17)")
+    ap.add_argument("--flops-only", action="store_true",
+                    help="print per-frame GFLOP / modeled HBM GB per method "
+                    "(loop-aware cost accounting, CPU backend, no chip)")
     args = ap.parse_args()
+    if args.flops_only:
+        import jax
+
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])
+        with tempfile.TemporaryDirectory() as root:
+            paths = make_full_size_checkpoints(root, args.methods)
+            results = {}
+            for method in args.methods:
+                if method not in paths:
+                    print(f"{method}: no checkpoint available", flush=True)
+                    continue
+                fl, by = bench_method(method, paths[method], flops_only=True)
+                results[method] = {
+                    "gflop_per_frame": round(fl / 1e9, 3) if fl else None,
+                    "modeled_gb_per_frame":
+                        round(by / 1e9, 4) if by else None}
+                print(f"{method}: {results[method]}", flush=True)
+            print(json.dumps(results))
+        return
     if args.isolate and len(args.methods) > 1:
         import subprocess
 
