@@ -77,19 +77,28 @@ def make_voxel_stage(vox_fn, num_bins, hw, event_norm,
 
     EVREAL_VOXEL_PRECISION (highest|high|default) overrides the matmul
     voxelizer's binning-dot precision (ops/voxelize.voxelize_matmul
-    docstring; default HIGH — the strict-parity choice)."""
+    docstring). Unset, the choice follows ``out_dtype``: f32 stages use
+    HIGH (3 bf16 MXU passes, ~2e-5 voxel error — the strict-parity
+    choice); a bf16 serving stage uses DEFAULT (1 pass), whose ~5e-3
+    absolute binning error is *below* the ~2e-2 rounding the bf16
+    materialization itself applies to O(1-10) voxel values — measured
+    1.11-1.24x end-to-end on the b128 bf16 lockstep (BASELINE.md,
+    "Voxel binning precision follows the serving dtype")."""
     windows_batched = getattr(vox_fn, "windows_batched", False)
     if vox_fn is voxelize_matmul:
-        env = os.environ.get("EVREAL_VOXEL_PRECISION")
-        if env is not None:
-            if env not in ("highest", "high", "default"):
-                raise ValueError(f"EVREAL_VOXEL_PRECISION={env!r}: expected "
-                                 "highest|high|default")
+        choice = os.environ.get("EVREAL_VOXEL_PRECISION")
+        if choice is not None:
+            if choice not in ("highest", "high", "default"):
+                raise ValueError(f"EVREAL_VOXEL_PRECISION={choice!r}: "
+                                 "expected highest|high|default")
+        elif np.dtype(out_dtype) == np.dtype(jnp.bfloat16):
+            choice = "default"
+        if choice is not None:
             import functools
 
             vox_fn = functools.partial(
                 voxelize_matmul,
-                precision=getattr(jax.lax.Precision, env.upper()))
+                precision=getattr(jax.lax.Precision, choice.upper()))
 
     def stage(bufs):
         count = bufs["count"]
