@@ -101,6 +101,14 @@ import os as _os
 
 BATCH_N = int(_os.environ.get("EVREAL_BENCH_B", "16"))
 CHUNK_T = int(_os.environ.get("EVREAL_BENCH_T", "32"))
+_BENCH_H = int(_os.environ.get("EVREAL_BENCH_H", "180"))
+_BENCH_W = int(_os.environ.get("EVREAL_BENCH_W", "240"))
+_DEFAULT_SHAPE = (BATCH_N, CHUNK_T, _BENCH_H, _BENCH_W) == (16, 32, 180, 240)
+# self-describing metric name: a capture with EVREAL_BENCH_B/T/H/W overrides
+# must not masquerade as the b16 ECD headline
+METRIC_NAME = ("e2vid_recon_fps_ecd_b16" if _DEFAULT_SHAPE else
+               f"e2vid_recon_fps_{_BENCH_H}x{_BENCH_W}"
+               f"_b{BATCH_N}_t{CHUNK_T}")
 
 # fixed probes: best values recorded on this chip in a healthy state
 # (re-measure with `python bench.py --probe-only`). The two degrade
@@ -294,7 +302,7 @@ def _backend_guard(seconds):
     def fire():
         if not done.wait(seconds):
             print(json.dumps({
-                "metric": "e2vid_recon_fps_ecd_b16", "value": 0.0,
+                "metric": METRIC_NAME, "value": 0.0,
                 "unit": "frames/s", "vs_baseline": 0.0,
                 "error": f"jax backend unreachable (init exceeded "
                          f"{seconds:.0f}s); chip state unknown — "
@@ -306,9 +314,72 @@ def _backend_guard(seconds):
     return done
 
 
+def wait_for_healthy_window():
+    """Bounded re-probe loop: don't burn the capture on a sick chip state.
+
+    r02 AND r03 headline captures landed in degraded-dispatch states
+    (op_latency_degraded: true), chronically underselling the framework —
+    the chip's three degradation axes drift on tens-of-minutes timescales,
+    so waiting is usually cheaper than recording a sick number. Probes run
+    in a SUBPROCESS (``bench.py --probe-only``): a probe dispatches
+    compute, and the first compute of a process can collapse the tunnel's
+    pre-compute H2D window that the prestage leg rides — the capture
+    process itself must stay dispatch-virgin while waiting.
+
+    Controlled by EVREAL_BENCH_WAIT_S (default 1800; 0 disables) and
+    EVREAL_BENCH_REPROBE_S (default 300). Returns a dict of wait keys to
+    stamp into the capture: ``waited_s`` and, when the budget ran out
+    while still sick, ``gave_up_after_s`` plus the last sick probe's
+    flags."""
+    import os
+    import subprocess
+    import sys
+
+    budget = float(os.environ.get("EVREAL_BENCH_WAIT_S", "1800"))
+    if budget <= 0:
+        return {}
+    interval = float(os.environ.get("EVREAL_BENCH_REPROBE_S", "300"))
+    t0 = time.perf_counter()
+    last = {}
+    while True:
+        env = dict(os.environ, EVREAL_BENCH_WAIT_S="0")
+        try:
+            res = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--probe-only"],
+                capture_output=True, text=True, env=env,
+                timeout=max(interval * 2, 600))
+            last = json.loads(res.stdout.strip().splitlines()[-1])
+        except Exception as exc:  # noqa: BLE001 — a hung/failed probe
+            # subprocess must not kill the capture; treat as sick & retry
+            last = {"probe_error": str(exc)[:200]}
+        if last.get("backend") not in (None, "tpu"):
+            # healthy/sick is a chip-state concept; a CPU/GPU run (smoke
+            # tests) has nothing to wait for
+            return {}
+        sick = (last.get("throttled", True)
+                or last.get("op_latency_degraded", True)
+                or last.get("host_contended", False))
+        waited = time.perf_counter() - t0
+        if not sick:
+            return {"waited_s": round(waited, 1)}
+        if waited + interval > budget:
+            return {"waited_s": round(waited, 1),
+                    "gave_up_after_s": round(waited, 1),
+                    "gave_up_probe": {k: last[k] for k in
+                                      ("throttled", "op_latency_degraded",
+                                       "host_contended", "probe_error")
+                                      if k in last}}
+        print(f"# chip state sick ({ {k: v for k, v in last.items() if 'degraded' in k or k in ('throttled', 'host_contended')} }); "
+              f"re-probing in {interval:.0f}s", file=sys.stderr)
+        time.sleep(interval)
+
+
 def main():
     import os
     import sys
+
+    wait_keys = ({} if "--probe-only" in sys.argv
+                 else wait_for_healthy_window())
 
     guard = _backend_guard(
         float(os.environ.get("EVREAL_BENCH_INIT_TIMEOUT_S", "900")))
@@ -353,7 +424,8 @@ def main():
         # both states), so it must not invalidate a headline capture.
         throttled = (probe_tflops < 0.5 * HEALTHY_PROBE_TFLOPS
                      or probe_hbm < 0.5 * HEALTHY_HBM_GBPS)
-        return {"probe_tflops": round(probe_tflops, 1),
+        return {"backend": jax.default_backend(),
+                "probe_tflops": round(probe_tflops, 1),
                 "healthy_probe_tflops": HEALTHY_PROBE_TFLOPS,
                 "probe_hbm_gbps": round(probe_hbm, 1),
                 "healthy_hbm_gbps": HEALTHY_HBM_GBPS,
@@ -504,11 +576,13 @@ def main():
 
     wire_mb = sum(v.nbytes for v in compact.values()) / 1e6
     out = {
-        "metric": "e2vid_recon_fps_ecd_b16",
+        "metric": METRIC_NAME,
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / REF_BASELINE_FPS, 2),
+        "batch_n": BATCH_N, "chunk_t": CHUNK_T, "height": h, "width": w,
         "mode": mode,
+        **wait_keys,
         "wire": "compact4",
         "wire_mb_per_chunk": round(wire_mb, 1),
         "device_resident_fps": round(1.0 / best_dev, 2),
@@ -564,6 +638,17 @@ def main():
             best16 = min(best16, (time.perf_counter() - t0)
                          / (iters * CHUNK_T * BATCH_N))
         out["bf16_device_resident_fps"] = round(1.0 / best16, 2)
+        # MFU of the actual serving mode, not just of the f32 parity
+        # headline (the bf16 device-resident configuration is where
+        # efficiency is proven; r03 only stamped the f32 streamed MFU)
+        flops16, _ = r16.cost_analysis(s16, compact)
+        if flops16:
+            from evreal_tpu.utils.mfu import mfu
+
+            ach16, frac16 = mfu(flops16, best16 * CHUNK_T * BATCH_N)
+            out["bf16_model_tflops_per_s"] = round(ach16, 2)
+            if frac16 is not None:
+                out["bf16_mfu_vs_bf16_peak"] = round(frac16, 4)
     except Exception:  # noqa: BLE001 — optional diagnostic, never fatal
         pass
     finally:

@@ -126,13 +126,28 @@ def alloc_buffers(shape_prefix, capacity, dtypes, alloc=np.zeros):
     return out
 
 
+def polarity_bit(ps):
+    """Positive-polarity bit per event, shared across wires.
+
+    Unsigned (on-disk) polarity uses the LSB convention — identical to the
+    f32/compact wires' ``(p & 1) * 2 - 1`` (reference dataset.py:227
+    assumes {0,1}; a {0,255} encoding also maps correctly since
+    ``255 & 1 == 1``), so every wire agrees on event sign for any uint8
+    input. Signed or float input is the already-mapped ±1 convention:
+    sign decides (``-1 & 1`` would misread -1 as positive)."""
+    ps = np.asarray(ps)
+    if np.issubdtype(ps.dtype, np.unsignedinteger):
+        return (ps & 1).astype(np.uint32)
+    return (ps > 0).astype(np.uint32)
+
+
 def encode_compact4(xs, ys, ts, ps, resolution):
     """Encode one window's events as packed uint32 (see module docstring).
 
     ``xs/ys``: integer coordinates; ``ts``: float64 absolute or zero-based
-    timestamps; ``ps``: polarity, positive => +1 (either {0,1} or ±1).
-    Bit-identical to the native packer (same f64 op order: one division
-    into the scale, then per-event multiply + rint)."""
+    timestamps; ``ps``: polarity, {0,1}/{0,255} uint8 or ±1 signed
+    (``polarity_bit``). Bit-identical to the native packer (same f64 op
+    order: one division into the scale, then per-event multiply + rint)."""
     idx_bits, ts_bits = compact4_layout(resolution)
     h, w = int(resolution[0]), int(resolution[1])
     xs = np.asarray(xs).astype(np.int64)
@@ -153,7 +168,7 @@ def encode_compact4(xs, ys, ts, ps, resolution):
         q = q.astype(np.uint32)
     else:
         q = np.zeros((0,), np.uint32)
-    pbit = (np.asarray(ps) > 0).astype(np.uint32)
+    pbit = polarity_bit(ps)
     return idx | (q << np.uint32(idx_bits)) | (pbit << np.uint32(31))
 
 

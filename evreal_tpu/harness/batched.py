@@ -63,7 +63,6 @@ class BatchedRunner:
 
         if chunk_t is None:  # honor EVREAL_CHUNK_T like the single-seq path
             chunk_t = DEFAULT_CHUNK_T
-        from evreal_tpu.ops.voxelize import voxelize_matmul, voxelize_scatter
 
         self.model = model
         self.params = params
@@ -73,15 +72,22 @@ class BatchedRunner:
         self.chunk_t = chunk_t
         self.mesh = mesh
         self.crop = CropParams(width, height, model.num_encoders)
-        # the batched runner vmaps the stage over N sequences, which the
-        # whole-chunk Pallas kernel can't lower under; fall back to matmul
         impl = default_voxelize_impl()
-        vox = (voxelize_matmul if impl in ("matmul", "pallas")
-               else voxelize_scatter)
-        from evreal_tpu.harness.runner import cast_params, compute_dtype
+        from evreal_tpu.harness.runner import (
+            FUSED,
+            cast_params,
+            compute_dtype,
+            resolve_voxelize_fn,
+        )
 
-        self._vox_impl = "matmul" if impl in ("matmul", "pallas") \
-            else "scatter"
+        self.fused = FUSED  # captured at construction (A/B tools flip it)
+        if impl == "pallas" and not self.fused:
+            # the two-stage program vmaps the stage over N sequences, which
+            # the whole-chunk Pallas kernel can't lower under; the fused
+            # scan feeds it (N, E) windows per step — its native grid shape
+            impl = "matmul"
+        vox = resolve_voxelize_fn(impl)
+        self._vox_impl = impl
         self.num_bins = num_bins
         self.event_norm = event_norm
         self.dtype = compute_dtype()
@@ -115,16 +121,32 @@ class BatchedRunner:
 
             with matmul_precision_ctx(dtype):
                 # inputs: per-event buffers (N, T, E) / count (N, T)
-                vox = jax.vmap(voxel_stage)(bufs)
-                vox = crop.pad(vox)  # stage emits `dtype`; pad 0s are exact
-                vox = jnp.moveaxis(vox, 1, 0)  # (T, N, ph, pw, B)
+                if self.fused:
+                    # one loop: each step voxelizes its own N windows, so
+                    # the (N, T, B*H, W) voxel-scan carry / (N, T, H, W, B)
+                    # buffer never materialize (runner.FUSED comment); the
+                    # transposed (T, N, E) event copy is ~7x smaller than
+                    # the voxel buffer it replaces
+                    xs = {k: jnp.moveaxis(v, 1, 0) for k, v in bufs.items()}
 
-                def step(st, v):
-                    out, st = model.apply(params, st, v)
-                    return st, out["image"]
+                    def step(st, buf_t):
+                        v = crop.pad(voxel_stage(buf_t))  # (N, ph, pw, B)
+                        out, st = model.apply(params, st, v)
+                        return st, out["image"]
 
-                state, imgs = jax.lax.scan(step, state, vox,
-                                           unroll=runner_mod.SCAN_UNROLL)
+                    state, imgs = jax.lax.scan(
+                        step, state, xs, unroll=runner_mod.SCAN_UNROLL)
+                else:
+                    vox = jax.vmap(voxel_stage)(bufs)
+                    vox = crop.pad(vox)  # stage emits `dtype`; pad is exact
+                    vox = jnp.moveaxis(vox, 1, 0)  # (T, N, ph, pw, B)
+
+                    def step(st, v):
+                        out, st = model.apply(params, st, v)
+                        return st, out["image"]
+
+                    state, imgs = jax.lax.scan(
+                        step, state, vox, unroll=runner_mod.SCAN_UNROLL)
                 imgs = jnp.moveaxis(imgs.astype(jnp.float32), 0, 1)
                 imgs = crop.crop(imgs)[..., 0]  # (N, T, H, W)
                 imgs = jax.vmap(jax.vmap(

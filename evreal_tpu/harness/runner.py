@@ -3,10 +3,11 @@
 
 Instead of a per-frame Python loop with three host<->device crossings per
 frame (reference §3.1: CPU voxelize -> GPU forward -> CPU metrics), whole
-chunks of T windows run as one compiled XLA program:
+chunks of T windows run as one compiled XLA program — a single lax.scan
+whose step voxelizes its own window and applies the model (see FUSED):
 
-    packed events (T,E) -> voxelize (vmap) -> input norm -> pad ->
-    lax.scan(model) -> crop -> post-norm -> clip  [+ batched metrics]
+    packed events (T,E) -> lax.scan(voxelize -> input norm -> pad ->
+    model) -> crop -> post-norm -> clip  [+ batched metrics]
 
 Only packed event buffers go up and images/score scalars come back. Programs
 are cached per (method, padded resolution, event-capacity bucket).
@@ -59,6 +60,41 @@ DEFAULT_BATCH_N = int(os.environ.get("EVREAL_BATCH_N", "0"))
 # serving config into 4 explicitly.
 SCAN_UNROLL = int(os.environ.get("EVREAL_SCAN_UNROLL", "1"))
 PIPELINE_DEPTH = 8  # chunks in flight on device before the host drains one
+# Fuse voxelization into the model scan body: the chunk program becomes ONE
+# loop whose step voxelizes its own window, instead of a voxel stage vmapped
+# over all lanes x chunk_t windows feeding a separate model scan. The two
+# largest allocations of the two-stage program — the vmapped voxelizer's
+# (lanes, T, B*H, W) f32 event-chunk scan carry and the (lanes, T, H, W, B)
+# voxel buffer, 7.06 GB + several GB at b256 (the r03 OOM dump) — never
+# materialize; per scan step only (lanes, B*H, W) lives, T times smaller.
+# The voxel grids are consumed once, one window at a time, by the model
+# scan, so materializing the whole chunk was pure dead bandwidth in the
+# HBM-bound regime. EVREAL_FUSED=0 restores the two-stage program as an
+# A/B control.
+FUSED = os.environ.get("EVREAL_FUSED", "1") != "0"
+
+
+def voxel_precision_choice(is_matmul, out_dtype):
+    """Binning-dot precision for the matmul voxelizer: the validated
+    EVREAL_VOXEL_PRECISION override, else 'default' for bf16 stages (see
+    make_voxel_stage docstring), else None (= voxelize_matmul's HIGH).
+    A precision pin on a voxelizer that cannot honor it (scatter has no
+    dot; the Pallas kernel is fixed at HIGHEST — Mosaic lowers nothing
+    else) is an operator error, not a silent no-op."""
+    choice = os.environ.get("EVREAL_VOXEL_PRECISION")
+    if choice is not None:
+        if choice not in ("highest", "high", "default"):
+            raise ValueError(f"EVREAL_VOXEL_PRECISION={choice!r}: "
+                             "expected highest|high|default")
+        if not is_matmul:
+            raise ValueError(
+                "EVREAL_VOXEL_PRECISION only applies to the matmul "
+                "voxelizer; the selected EVREAL_VOXELIZE impl cannot "
+                "honor it (scatter has no dot; pallas is fixed HIGHEST)")
+        return choice
+    if is_matmul and np.dtype(out_dtype) == np.dtype(jnp.bfloat16):
+        return "default"
+    return None
 
 
 def make_voxel_stage(vox_fn, num_bins, hw, event_norm,
@@ -85,20 +121,16 @@ def make_voxel_stage(vox_fn, num_bins, hw, event_norm,
     1.11-1.24x end-to-end on the b128 bf16 lockstep (BASELINE.md,
     "Voxel binning precision follows the serving dtype")."""
     windows_batched = getattr(vox_fn, "windows_batched", False)
-    if vox_fn is voxelize_matmul:
-        choice = os.environ.get("EVREAL_VOXEL_PRECISION")
-        if choice is not None:
-            if choice not in ("highest", "high", "default"):
-                raise ValueError(f"EVREAL_VOXEL_PRECISION={choice!r}: "
-                                 "expected highest|high|default")
-        elif np.dtype(out_dtype) == np.dtype(jnp.bfloat16):
-            choice = "default"
-        if choice is not None:
-            import functools
+    is_matmul = (vox_fn is voxelize_matmul
+                 or getattr(vox_fn, "func", None) is voxelize_matmul)
+    choice = voxel_precision_choice(is_matmul, out_dtype)
+    if choice is not None:
+        import functools
 
-            vox_fn = functools.partial(
-                voxelize_matmul,
-                precision=getattr(jax.lax.Precision, choice.upper()))
+        # wrap vox_fn itself (it may be the loop-free cost variant's
+        # chunk-pinning partial, whose kwargs must survive)
+        vox_fn = functools.partial(
+            vox_fn, precision=getattr(jax.lax.Precision, choice.upper()))
 
     def stage(bufs):
         count = bufs["count"]
@@ -159,10 +191,12 @@ def loop_free_voxelize_fn(impl):
     if impl == "scatter":
         return voxelize_scatter
 
-    def vox(x, y, t, p, c, nb, hw):
-        return voxelize_matmul(x, y, t, p, c, nb, hw, chunk=1 << 30)
+    import functools
 
-    return vox
+    # a bare partial (not a def) so make_voxel_stage recognizes it as the
+    # matmul and applies the same EVREAL_VOXEL_PRECISION / bf16-default
+    # binning-precision choice the executed program gets
+    return functools.partial(voxelize_matmul, chunk=1 << 30)
 
 
 def resolve_voxelize_fn(impl):
@@ -507,6 +541,7 @@ class MethodRunner:
         self.h, self.w = height, width
         self.num_bins = num_bins
         self.chunk_t = chunk_t
+        self.fused = FUSED  # captured at construction (A/B tools flip it)
         self.crop = CropParams(width, height, model.num_encoders)
         if voxelize_impl is None:
             voxelize_impl = default_voxelize_impl()
@@ -533,21 +568,34 @@ class MethodRunner:
 
         def fn(params, state, bufs):
             with matmul_precision_ctx(dtype):
-                vox = voxel_stage(bufs)  # already `dtype`
-                vox = crop.pad(vox)
-
                 # NOTE: ET-Net exposes encode_recurrent/decode_batched
                 # (only its ConvLSTM stages are recurrent), but scanning
                 # the prefix and batching the suffix over the chunk was
                 # A/B'd at 105.2 vs 105.5 ms/frame monolithic — no gain
                 # (and a much larger program to compile), so the harness
                 # scans whole models uniformly. See BASELINE.md.
-                def step(st, v):
-                    out, st = model.apply(params, st, v[None])
-                    return st, out["image"][0]
+                if self.fused:
+                    # one loop: each step voxelizes its own window, so the
+                    # (T, B*H, W) voxel-scan carry / (T, H, W, B) buffer of
+                    # the two-stage program never materialize (module FUSED
+                    # comment)
+                    def step(st, buf_t):
+                        v = voxel_stage(jax.tree.map(lambda b: b[None],
+                                                     buf_t))
+                        out, st = model.apply(params, st, crop.pad(v))
+                        return st, out["image"][0]
 
-                state, imgs = jax.lax.scan(step, state, vox,
-                                           unroll=SCAN_UNROLL)
+                    state, imgs = jax.lax.scan(step, state, dict(bufs),
+                                               unroll=SCAN_UNROLL)
+                else:
+                    vox = crop.pad(voxel_stage(bufs))  # already `dtype`
+
+                    def step(st, v):
+                        out, st = model.apply(params, st, v[None])
+                        return st, out["image"][0]
+
+                    state, imgs = jax.lax.scan(step, state, vox,
+                                               unroll=SCAN_UNROLL)
                 imgs = crop.crop(imgs.astype(jnp.float32))[..., 0]  # (T,H,W)
                 imgs = jax.vmap(lambda im: post_process_normalization(
                     im, post_norm))(imgs)

@@ -189,7 +189,10 @@ int evreal_pack_compact4(
       if (v < 0.0) v = 0.0;
       if (v > qmax) v = qmax;
       const uint32_t q = static_cast<uint32_t>(v);
-      const uint32_t pbit = ep[i] > 0 ? 1u : 0u;
+      // LSB convention, matching the f32/compact wires' (p & 1) * 2 - 1
+      // (packing.polarity_bit): every wire agrees on event sign for any
+      // uint8 polarity encoding, not just {0,1}
+      const uint32_t pbit = ep[i] & 1u;
       row[i] = idx | (q << idx_bits) | (pbit << 31);
     }
     const int64_t tail = capacity - n;

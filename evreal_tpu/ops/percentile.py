@@ -102,8 +102,12 @@ def order_stats(x, ks):
 
 
 def percentiles(x, qs):
-    """Exact ``jnp.percentile(x, q, method='linear')`` for each static q in
-    ``qs`` on flat f32 ``x`` — bit-identical result, no sort. Returns a
+    """``jnp.percentile(x, q, method='linear')`` for each static q in
+    ``qs`` on flat f32 ``x``, with no sort: the order statistics are
+    bit-identical to ``lax.sort``'s total order, and the linear
+    interpolation uses f64-static numpy-exact weights — within a few ulps
+    of jnp.percentile, whose executed weights themselves wobble 1-2 ulps
+    under XLA's divide->reciprocal rewrite (module docstring). Returns a
     (len(qs),) f32 array."""
     n = x.shape[0]
     plans = [_rank_weights(q, n) for q in qs]

@@ -119,8 +119,11 @@ def _pack_window(xs, ys, ts, ps, capacity=None, float_coords=False,
             out["ts"][0, :n] = q.astype(np.uint16)
         else:
             out["ts"][0, :n] = (t - t[0]).astype(np.float32)
-        p = np.asarray(ps)
-        out["ps"][0, :n] = np.where(p > 0, 1, -1).astype(np.int8)
+        from evreal_tpu.data.packing import polarity_bit
+
+        # LSB convention for unsigned input, sign for ±1 — the same rule
+        # as every other wire (packing.polarity_bit)
+        out["ps"][0, :n] = (polarity_bit(ps).astype(np.int8) * 2 - 1)
     return out
 
 

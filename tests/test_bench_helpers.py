@@ -56,14 +56,18 @@ def test_bench_main_smoke_cpu():
                 "EVREAL_BENCH_H": "32", "EVREAL_BENCH_W": "48",
                 "EVREAL_BENCH_CAP": "256", "EVREAL_BENCH_DIAG": "0",
                 "EVREAL_BENCH_TINY_PROBES": "1",
-                "EVREAL_SCAN_UNROLL": "1"})
+                "EVREAL_SCAN_UNROLL": "1",
+                "EVREAL_BENCH_WAIT_S": "0"})
     proc = subprocess.run([sys.executable, "bench.py"], cwd="/root/repo",
                           capture_output=True, text=True, timeout=420,
                           env=env)
     assert proc.returncode == 0, proc.stderr[-2000:]
     line = proc.stdout.strip().splitlines()[-1]
     out = json.loads(line)
-    assert out["metric"] == "e2vid_recon_fps_ecd_b16"
+    # overridden shapes must self-describe, not masquerade as the
+    # b16 ECD headline (ADVICE r03)
+    assert out["metric"] == "e2vid_recon_fps_32x48_b2_t2"
+    assert (out["batch_n"], out["chunk_t"]) == (2, 2)
     # the headline is the better of the two supported ingestion patterns
     assert out["mode"] in ("prestaged", "streamed")
     for key in ("value", "vs_baseline", "device_resident_fps",
@@ -96,6 +100,7 @@ def test_bench_main_streamed_fallback_cpu():
                 "EVREAL_BENCH_CAP": "256", "EVREAL_BENCH_DIAG": "0",
                 "EVREAL_BENCH_TINY_PROBES": "1",
                 "EVREAL_SCAN_UNROLL": "1",
+                "EVREAL_BENCH_WAIT_S": "0",
                 "EVREAL_PRESTAGE": "0"})
     proc = subprocess.run([sys.executable, "bench.py"], cwd="/root/repo",
                           capture_output=True, text=True, timeout=420,
