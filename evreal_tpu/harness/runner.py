@@ -74,25 +74,28 @@ PIPELINE_DEPTH = 8  # chunks in flight on device before the host drains one
 FUSED = os.environ.get("EVREAL_FUSED", "1") != "0"
 
 
-def voxel_precision_choice(is_matmul, out_dtype):
-    """Binning-dot precision for the matmul voxelizer: the validated
+def voxel_precision_choice(supported, out_dtype):
+    """Binning-dot precision for the selected voxelizer: the validated
     EVREAL_VOXEL_PRECISION override, else 'default' for bf16 stages (see
-    make_voxel_stage docstring), else None (= voxelize_matmul's HIGH).
-    A precision pin on a voxelizer that cannot honor it (scatter has no
-    dot; the Pallas kernel is fixed at HIGHEST — Mosaic lowers nothing
-    else) is an operator error, not a silent no-op."""
+    make_voxel_stage docstring), else None (each impl's own default —
+    matmul HIGH, pallas HIGHEST). ``supported`` is the precision names the
+    impl can honor (matmul: all three; the Pallas windows kernel:
+    highest|default — Mosaic does not lower HIGH; scatter: none). A
+    precision pin the impl cannot honor is an operator error, not a
+    silent no-op."""
     choice = os.environ.get("EVREAL_VOXEL_PRECISION")
     if choice is not None:
         if choice not in ("highest", "high", "default"):
             raise ValueError(f"EVREAL_VOXEL_PRECISION={choice!r}: "
                              "expected highest|high|default")
-        if not is_matmul:
+        if choice not in supported:
             raise ValueError(
-                "EVREAL_VOXEL_PRECISION only applies to the matmul "
-                "voxelizer; the selected EVREAL_VOXELIZE impl cannot "
-                "honor it (scatter has no dot; pallas is fixed HIGHEST)")
+                f"EVREAL_VOXEL_PRECISION={choice!r}: the selected "
+                f"EVREAL_VOXELIZE impl cannot honor it (supports: "
+                f"{', '.join(supported) or 'none — scatter has no dot'})")
         return choice
-    if is_matmul and np.dtype(out_dtype) == np.dtype(jnp.bfloat16):
+    if "default" in supported \
+            and np.dtype(out_dtype) == np.dtype(jnp.bfloat16):
         return "default"
     return None
 
@@ -123,7 +126,9 @@ def make_voxel_stage(vox_fn, num_bins, hw, event_norm,
     windows_batched = getattr(vox_fn, "windows_batched", False)
     is_matmul = (vox_fn is voxelize_matmul
                  or getattr(vox_fn, "func", None) is voxelize_matmul)
-    choice = voxel_precision_choice(is_matmul, out_dtype)
+    supported = (("highest", "high", "default") if is_matmul
+                 else getattr(vox_fn, "supported_precisions", ()))
+    choice = voxel_precision_choice(supported, out_dtype)
     if choice is not None:
         import functools
 
@@ -172,7 +177,11 @@ def default_voxelize_impl():
     ECD scale (32x30k events, same chip state): matmul@HIGH 107-129 Mev/s,
     batched Pallas kernel 46-49 Mev/s (Mosaic only lowers HIGHEST = 2x the
     MXU passes of HIGH, and VMEM caps the event-chunk tile), XLA scatter
-    45 Mev/s — so the XLA matmul is the default."""
+    45 Mev/s — so the XLA matmul is the default. In the fused b128 bf16
+    serving program the gap holds: pallas (bf16 factors, VMEM-blocked B*H)
+    0.783 vs matmul 0.453 ms/frame end-to-end — the kernel regenerates
+    one-hot factors on the VPU per B*H block while XLA builds them once
+    and feeds one full-width MXU dot (BASELINE.md round 4)."""
     env = os.environ.get("EVREAL_VOXELIZE")
     if env in ("matmul", "scatter", "pallas"):
         return env

@@ -116,36 +116,60 @@ def voxelize(xs, ys, ts, ps, count, num_bins=5, sensor_size=(180, 240),
 # batched (whole-chunk) kernel
 # ---------------------------------------------------------------------------
 
-_TW = 8  # windows per grid step (sublane-aligned for the (8,128) f32 tile)
+_TW = 8  # windows per grid step: the Mosaic (8, 128) tiling rule requires
+# the (tw, chunk) input blocks' sublane dim be a multiple of 8 (or the
+# full window count), so tw is fixed at 8 and VMEM is managed by blocking
+# the B*H axis instead (`_bh_block`).
 
 
-def _window_tile(bh, w, budget=8 * 1024 * 1024, max_tw=_TW):
-    """Windows per grid step for the batched kernel: the (tw, bh, w) f32
-    output block stays resident in VMEM, so shrink tw for large sensors
-    (MVSEC 346x260 at tw=8 is ~14.4 MB — over the ~16 MB VMEM once one-hot
-    temporaries are added). ~8 MB budget, floor 1."""
-    tw = max_tw
-    while tw > 1 and tw * bh * w * 4 > budget:
-        tw //= 2
-    return tw
+def _bh_block(bh, w, budget=2 * 1024 * 1024):
+    """Rows of the (tw, bh, w) f32 output block per grid step.
+
+    The output block stays resident in VMEM as the accumulator and Mosaic
+    double-buffers it across window-tile boundaries, so the VMEM bill is
+    ~2x the block plus the per-chunk one-hot temporaries (~2 MB at
+    chunk=512). The unblocked ECD block (tw=8: 2 x 6.9 MB) was measured
+    to OOM the ~16 MB VMEM at AOT compile inside the fused b128 chunk
+    program (2026-08-19); blocking B*H — padded to a multiple of the
+    block, multiple of 8 for the tiling rule — keeps 2x the block under
+    ~4 MB for any sensor. Splitting the row one-hot does not change total
+    FLOPs (2*E*bh*w either way); events outside a row block contribute
+    zero rows."""
+    blk_max = max(8, budget // (_TW * w * 4) // 8 * 8)
+    n_blocks = -(-bh // blk_max)
+    return -(-(-(-bh // n_blocks)) // 8) * 8  # round8(ceil(bh/n))
 
 
 def _batched_kernel(rows_lo_ref, rows_hi_ref, wlo_ref, whi_ref, cols_ref,
-                    out_ref):
-    """Grid (T//_TW, n_chunks); event chunks are the innermost dimension, so
-    the (TW, B*H, W) output block stays resident in VMEM and serves as the
-    accumulator across chunks (no separate scratch -> fits comfortably in
-    VMEM: ~7 MB out block + ~2 MB one-hot temporaries at chunk=512)."""
-    j = pl.program_id(1)
+                    out_ref, *, bf16_factors=False):
+    """Grid (T//_TW, bh_blocks, n_chunks); event chunks are the innermost
+    dimension, so the (TW, bh_blk, W) output block stays resident in VMEM
+    and serves as the accumulator across chunks (no separate scratch;
+    VMEM sizing in `_bh_block` — the middle grid axis blocks the B*H rows
+    so the block fits for any sensor). ``bf16_factors`` casts the one-hot
+    factors to bf16 and runs the dot at DEFAULT precision — the same
+    per-factor round-to-nearest-even the MXU applies to
+    ``voxelize_matmul`` under ``Precision.DEFAULT`` (the bf16 serving
+    mode's measured choice) — at 1/6 the MXU passes of HIGHEST;
+    accumulation stays f32 via preferred_element_type."""
+    k = pl.program_id(1)
+    j = pl.program_id(2)
 
     @pl.when(j == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
     chunk = rows_lo_ref.shape[1]
-    bh = out_ref.shape[1]
+    bh_blk = out_ref.shape[1]
     w = out_ref.shape[2]
-    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, bh), 1)
+    fdt = jnp.bfloat16 if bf16_factors else jnp.float32
+    # Mosaic only lowers DEFAULT/HIGHEST dot precisions (HIGH raises
+    # NotImplementedError); HIGHEST matches the original kernel.
+    prec = (jax.lax.Precision.DEFAULT if bf16_factors
+            else jax.lax.Precision.HIGHEST)
+    base = k * bh_blk  # this block covers rows [base, base + bh_blk)
+    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, bh_blk), 1) \
+        + base
     cols_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, w), 1)
     for t in range(rows_lo_ref.shape[0]):  # static unroll: tw dots/step
         rl = rows_lo_ref[t, :]
@@ -153,20 +177,18 @@ def _batched_kernel(rows_lo_ref, rows_hi_ref, wlo_ref, whi_ref, cols_ref,
         oh_rows = ((rows_iota == rl[:, None]).astype(jnp.float32)
                    * wlo_ref[t, :][:, None]
                    + (rows_iota == rh[:, None]).astype(jnp.float32)
-                   * whi_ref[t, :][:, None])
-        oh_cols = (cols_iota == cols_ref[t, :][:, None]).astype(jnp.float32)
-        # Mosaic only lowers DEFAULT/HIGHEST dot precisions (HIGH raises
-        # NotImplementedError); HIGHEST matches the original kernel.
+                   * whi_ref[t, :][:, None]).astype(fdt)
+        oh_cols = (cols_iota == cols_ref[t, :][:, None]).astype(fdt)
         out_ref[t] += jax.lax.dot_general(
             oh_rows, oh_cols,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec,
         )
 
 
 def voxelize_pallas_windows(xs, ys, ts, ps, count, num_bins, sensor_size,
-                            chunk=512, interpret=False):
+                            chunk=512, interpret=False, precision=None):
     """Voxelize a whole chunk of T windows in one kernel launch.
 
     Inputs are the packed (T, E) buffers (any of int16/int8/f32 as emitted
@@ -174,7 +196,18 @@ def voxelize_pallas_windows(xs, ys, ts, ps, count, num_bins, sensor_size,
     batch-capable variant of ``voxelize_pallas`` — jax.vmap of a 1-D Pallas
     kernel does not lower on TPU (auto-batched block shapes violate the
     (8, 128) tiling rule), so the window axis is part of the grid instead.
+
+    ``precision``: HIGHEST (default) or DEFAULT (bf16 one-hot factors, the
+    bf16 serving mode's choice — see ``_batched_kernel``); HIGH is not
+    lowerable by Mosaic (``supported_precisions``).
     """
+    if precision in (None, jax.lax.Precision.HIGHEST):
+        bf16_factors = False
+    elif precision == jax.lax.Precision.DEFAULT:
+        bf16_factors = True
+    else:
+        raise ValueError(f"voxelize_pallas_windows: precision {precision} "
+                         "not lowerable by Mosaic (use HIGHEST or DEFAULT)")
     h, w = sensor_size
     t_n, e = xs.shape
     ps = ps.astype(jnp.float32)
@@ -190,7 +223,11 @@ def voxelize_pallas_windows(xs, ys, ts, ps, count, num_bins, sensor_size,
                                                           count)
 
     bh = num_bins * h
-    tw = _window_tile(bh, w)
+    tw = _TW
+    bh_blk = _bh_block(bh, w)
+    n_bh = -(-bh // bh_blk)
+    bh_pad = n_bh * bh_blk  # rows [bh, bh_pad) are sliced off below, so
+    # masked events' sentinel rows landing there are harmless
 
     chunk = min(chunk, e)
     n_chunks = -(-e // chunk)
@@ -205,17 +242,22 @@ def voxelize_pallas_windows(xs, ys, ts, ps, count, num_bins, sensor_size,
     args = tuple(map(pad2, (row_lo, row_hi, w_lo, w_hi, cols)))
     tp = t_n + pad_t
 
+    # event chunks innermost so each (tw, bh_blk, w) output block stays
+    # resident across its accumulation; the input blocks are re-fetched
+    # per bh block (n_bh x amplification of ~16 KB blocks — noise next to
+    # the one-hot dot traffic they feed)
     out = pl.pallas_call(
-        _batched_kernel,
-        grid=(tp // tw, n_chunks),
-        in_specs=[pl.BlockSpec((tw, chunk), lambda i, j: (i, j),
+        functools.partial(_batched_kernel, bf16_factors=bf16_factors),
+        grid=(tp // tw, n_bh, n_chunks),
+        in_specs=[pl.BlockSpec((tw, chunk), lambda i, k, j: (i, j),
                                memory_space=pltpu.VMEM)] * 5,
-        out_specs=pl.BlockSpec((tw, bh, w), lambda i, j: (i, 0, 0),
+        out_specs=pl.BlockSpec((tw, bh_blk, w), lambda i, k, j: (i, k, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((tp, bh, w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((tp, bh_pad, w), jnp.float32),
         interpret=interpret,
     )(*args)
-    return out[:t_n].reshape(t_n, num_bins, h, w)
+    return out[:t_n, :bh].reshape(t_n, num_bins, h, w)
 
 
 voxelize_pallas_windows.windows_batched = True
+voxelize_pallas_windows.supported_precisions = ("highest", "default")

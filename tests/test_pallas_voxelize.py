@@ -87,18 +87,25 @@ def test_pallas_windows_through_voxel_stage():
 
 
 def test_pallas_windows_large_sensor_tile_shrink():
-    """Sensors whose (8, B*H, W) block would overflow VMEM shrink the
-    window tile; interpret mode checks the math stays right."""
+    """The B*H axis is blocked so the (8, bh_blk, W) output block fits
+    VMEM for any sensor; interpret mode checks the blocked math (incl.
+    the padded-rows slice) stays right."""
     import jax.numpy as jnp
 
     from evreal_tpu.kernels.voxelize_pallas import (
-        _window_tile,
+        _bh_block,
         voxelize_pallas_windows,
     )
     from evreal_tpu.ops.voxelize import voxelize_matmul
 
     h, w, b, t_n, cap = 260, 346, 5, 3, 256  # MVSEC resolution
-    assert _window_tile(b * h, w) == 4  # the tile actually shrank
+    # MVSEC: 8 blocks of 168 rows (1300 padded to 1344); block 8x168x346
+    # f32 = 1.9 MB
+    assert _bh_block(b * h, w) == 168
+    # ECD: 4 blocks of 232 (900 -> 928); block 8x232x240 f32 = 1.7 MB
+    assert _bh_block(5 * 180, 240) == 232
+    # small test sensors: one block, rounded up to the 8-row tile
+    assert _bh_block(5 * 24, 32) == 120
     rng = np.random.default_rng(0)
     xs = rng.integers(0, w, (t_n, cap)).astype(np.float32)
     ys = rng.integers(0, h, (t_n, cap)).astype(np.float32)
@@ -113,3 +120,37 @@ def test_pallas_windows_large_sensor_tile_shrink():
         xs[i], ys[i], ts[i], ps[i], count[i], b, (h, w)))
         for i in range(t_n)])
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_pallas_windows_default_precision_bounded():
+    """precision=DEFAULT (bf16 one-hot factors, the bf16 serving mode's
+    auto-choice) stays within the bf16 materialization budget vs the
+    HIGHEST kernel, and HIGH is rejected (Mosaic cannot lower it)."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from evreal_tpu.kernels.voxelize_pallas import voxelize_pallas_windows
+
+    h, w, b, cap, t = 24, 32, 5, 1024, 4
+    rng = np.random.default_rng(3)
+    xs = rng.integers(0, w, (t, cap)).astype(np.int16)
+    ys = rng.integers(0, h, (t, cap)).astype(np.int16)
+    ts = np.sort(rng.uniform(0, 0.03, (t, cap)).astype(np.float32), axis=1)
+    ts -= ts[:, :1]
+    ps = (rng.integers(0, 2, (t, cap)) * 2 - 1).astype(np.int8)
+    count = np.full((t,), 900, np.int32)
+    args = (jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(ts),
+            jnp.asarray(ps), jnp.asarray(count), b, (h, w))
+
+    ref = np.asarray(voxelize_pallas_windows(*args, interpret=True))
+    got = np.asarray(voxelize_pallas_windows(
+        *args, interpret=True, precision=jax.lax.Precision.DEFAULT))
+    # per-event weights round to bf16 (rel ~4e-3); cells accumulate O(10)
+    # events here
+    assert np.abs(got - ref).max() < 2e-2
+    assert np.abs(got - ref).max() > 0  # the cast actually happened
+
+    with pytest.raises(ValueError, match="not lowerable"):
+        voxelize_pallas_windows(*args, interpret=True,
+                                precision=jax.lax.Precision.HIGH)

@@ -98,3 +98,35 @@ def test_default_precision_binning_error_is_bounded():
     err = np.abs(np.asarray(got, np.float32)
                  - np.asarray(ref, np.float32)).max()
     assert err < 2e-2, err
+
+
+def test_env_rejects_precision_the_impl_cannot_honor(monkeypatch):
+    """A pinned precision the selected voxelizer cannot lower is an
+    operator error, not a silent no-op (ADVICE r03)."""
+    from evreal_tpu.kernels.voxelize_pallas import voxelize_pallas_windows
+
+    monkeypatch.setenv("EVREAL_VOXEL_PRECISION", "high")
+    with pytest.raises(ValueError, match="cannot honor"):
+        make_voxel_stage(voxelize_scatter, 5, (24, 32), False)
+    with pytest.raises(ValueError, match="cannot honor"):
+        make_voxel_stage(voxelize_pallas_windows, 5, (24, 32), False)
+    monkeypatch.setenv("EVREAL_VOXEL_PRECISION", "default")
+    make_voxel_stage(voxelize_pallas_windows, 5, (24, 32), False)  # ok
+
+
+def test_bf16_stage_auto_selects_default_for_pallas():
+    """The bf16 serving stage passes Precision.DEFAULT to a voxelizer that
+    declares it supported (the Pallas windows kernel's bf16-factor
+    path)."""
+    seen = {}
+
+    def fake(xs, ys, ts, ps, count, num_bins, hw, precision=None):
+        seen["precision"] = precision
+        return jnp.zeros((xs.shape[0], num_bins) + hw, jnp.float32)
+
+    fake.windows_batched = True
+    fake.supported_precisions = ("highest", "default")
+    stage = make_voxel_stage(fake, 5, (24, 32), False,
+                             out_dtype=jnp.bfloat16)
+    stage(_buffers())
+    assert seen["precision"] == P.DEFAULT
