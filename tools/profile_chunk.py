@@ -34,6 +34,7 @@ sys.path.insert(0, _REPO)
 def _load_xplane_pb2():
     for mod in ("xprof.protobuf.xplane_pb2",
                 "tensorboard_plugin_profile.protobuf.xplane_pb2",
+                "tensorflow.tsl.profiler.protobuf.xplane_pb2",
                 "tensorflow.core.profiler.protobuf.xplane_pb2"):
         try:
             import importlib
@@ -45,8 +46,16 @@ def _load_xplane_pb2():
 
 
 def parse_trace(trace_dir):
-    """{kernel name: total duration ns} from the device plane(s) of every
-    xplane.pb under trace_dir, plus total device-busy ns."""
+    """{kernel name: SELF duration ps} from the device plane(s) of every
+    xplane.pb under trace_dir.
+
+    Events on a device line nest (a ``while`` op's span contains its body
+    fusions; the ``jit_fn`` module span contains everything), so raw
+    duration sums double-count. Within each line, events are treated as
+    an interval forest by containment and each event is charged only its
+    *self* time (duration minus directly-contained children) — parents
+    like ``jit_fn``/``while`` then show only loop/dispatch bookkeeping,
+    leaves show their real cost."""
     xplane_pb2 = _load_xplane_pb2()
     paths = sorted(glob.glob(os.path.join(
         trace_dir, "**", "*.xplane.pb"), recursive=True))
@@ -54,6 +63,7 @@ def parse_trace(trace_dir):
         raise FileNotFoundError(f"no xplane.pb under {trace_dir}")
     totals = defaultdict(int)
     occurrences = defaultdict(int)
+    meta = {}  # kernel -> {source, flops, bytes} from HLO metadata
     for path in paths:
         xspace = xplane_pb2.XSpace()
         with open(path, "rb") as f:
@@ -73,14 +83,50 @@ def parse_trace(trace_dir):
                 # XLA op activity lines; skip python/infeed bookkeeping
                 if "step" in lname or "python" in lname:
                     continue
+                sm = plane.stat_metadata
+                evs = []
                 for ev in line.events:
                     md = ev_meta.get(ev.metadata_id)
                     if md is None:
                         continue
                     key = md.display_name or md.name
-                    totals[key] += ev.duration_ps
+                    evs.append((ev.offset_ps, ev.offset_ps + ev.duration_ps,
+                                key))
+                    if key not in meta:
+                        info = {}
+                        for st in md.stats:
+                            sname = (sm[st.metadata_id].name
+                                     if st.metadata_id in sm else "")
+                            if sname == "source":
+                                info["source"] = st.str_value
+                            elif sname == "flops":
+                                info["flops"] = st.int64_value \
+                                    or st.uint64_value
+                            elif sname == "raw_bytes_accessed":
+                                info["bytes"] = st.int64_value \
+                                    or st.uint64_value
+                        if info:
+                            meta[key] = info
+                # self time via a containment stack: sorted by (start,
+                # -end), an event's direct children are exactly the later
+                # events it contains; each child's full span is charged to
+                # its immediate parent, so self = span - direct children
+                evs.sort(key=lambda t: (t[0], -t[1]))
+                stack = []  # [end, key, start, direct_child_span]
+                for start, end, key in evs:
+                    while stack and stack[-1][0] <= start:
+                        e, k, s, ch = stack.pop()
+                        totals[k] += max(0, (e - s) - ch)
+                    if stack and end > stack[-1][0]:
+                        end = stack[-1][0]  # clip malformed overlap
+                    if stack:
+                        stack[-1][3] += end - start
+                    stack.append([end, key, start, 0])
                     occurrences[key] += 1
-    return totals, occurrences
+                while stack:
+                    e, k, s, ch = stack.pop()
+                    totals[k] += max(0, (e - s) - ch)
+    return totals, occurrences, meta
 
 
 _CATEGORIES = (
@@ -102,20 +148,31 @@ def categorize(name):
     return "other"
 
 
-def report(totals, occurrences, top=30):
+def report(totals, occurrences, meta=None, top=30):
+    """Per-kernel SELF-time table with HLO-metadata utilization columns:
+    achieved TFLOP/s and GB/s per kernel (flops/bytes are per occurrence
+    in the metadata, so rates use total_time/n)."""
+    meta = meta or {}
     total_ns = sum(totals.values())
     if total_ns == 0:
         print("empty trace")
         return {}
     rows = sorted(totals.items(), key=lambda kv: -kv[1])
-    print(f"{'kernel':60s} {'ms':>10s} {'%':>6s} {'n':>7s} cat")
+    print(f"{'kernel':42s} {'ms':>9s} {'%':>6s} {'n':>6s} "
+          f"{'TF/s':>6s} {'GB/s':>6s} source")
     by_cat = defaultdict(int)
     for name, ns in rows:
         by_cat[categorize(name)] += ns
     for name, ns in rows[:top]:
-        print(f"{name[:60]:60s} {ns / 1e9:10.3f} "
-              f"{100.0 * ns / total_ns:6.2f} {occurrences[name]:7d} "
-              f"{categorize(name)}")
+        info = meta.get(name, {})
+        per_occ_s = ns / 1e12 / max(1, occurrences[name])
+        tf = info.get("flops", 0) / per_occ_s / 1e12 if per_occ_s else 0
+        gb = info.get("bytes", 0) / per_occ_s / 1e9 if per_occ_s else 0
+        src = info.get("source", "")
+        src = src.rsplit("evreal_tpu/", 1)[-1]
+        print(f"{name[:42]:42s} {ns / 1e9:9.3f} "
+              f"{100.0 * ns / total_ns:6.2f} {occurrences[name]:6d} "
+              f"{tf:6.1f} {gb:6.0f} {src}")
     print("\nby category:")
     cats = {}
     for cat, ns in sorted(by_cat.items(), key=lambda kv: -kv[1]):
@@ -141,8 +198,8 @@ def main():
     args = ap.parse_args()
 
     if args.trace_only:
-        totals, occ = parse_trace(args.trace_only)
-        cats = report(totals, occ, args.top)
+        totals, occ, meta = parse_trace(args.trace_only)
+        cats = report(totals, occ, meta, args.top)
         print(json.dumps({"by_category_pct": cats}))
         return
 
@@ -178,8 +235,8 @@ def main():
     print(f"traced {args.iters} chunks ({frames} frames) in {wall:.2f}s "
           f"({wall / frames * 1e3:.3f} ms/frame) -> {args.dir}", flush=True)
 
-    totals, occ = parse_trace(args.dir)
-    cats = report(totals, occ, args.top)
+    totals, occ, meta = parse_trace(args.dir)
+    cats = report(totals, occ, meta, args.top)
     print(json.dumps({"by_category_pct": cats,
                       "wall_ms_frame": round(wall / frames * 1e3, 3),
                       "batch": args.batch, "dtype": args.dtype,
