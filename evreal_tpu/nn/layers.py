@@ -11,8 +11,11 @@ norm variants they use, all in eval mode (BatchNorm & tracked InstanceNorm use
 running statistics).
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 _EPS_BN = 1e-5
@@ -213,6 +216,104 @@ def unfold(x, kernel_size, stride=1, padding=0):
 
 
 # ---------------------------------------------------------------------------
+# Space-to-depth conv lowering (EVREAL_S2D).
+#
+# The b128 bf16 chunk-program profile (BASELINE.md per-kernel cost table)
+# shows exactly one soft MXU kernel: the full-resolution 64ch->32 k5 decoder
+# conv (72.6 TF/s vs 150-186 for its siblings) — the classic low-channel x
+# large-spatial tiling weakness. Re-expressing the k5 stride-1 conv on
+# 2x2-packed inputs (channels x4, spatial /4) turns it into a k3 conv at
+# 256ch->128 — MXU-friendly tile shapes — at 1.44x the MAC count (the
+# repacked 3x3 block kernel stores the 5x5 taps sparsely). Exact same math
+# per output element (each output is the identical 25*C-term sum), including
+# borders: full-res zero-padding by 2 is exactly one zero block row/col in
+# packed space, so packed k3 pad-1 reproduces it when H and W are even.
+# ---------------------------------------------------------------------------
+
+# Static (u, v, r, s, a, b) -> (row, col) tap map for the weight repack:
+# out[2i+a, 2j+b] draws tap dy = 2u+r-a - 2 (u in 0..2 encoding block offset
+# u-1), i.e. w5 row index 2u+r-a, valid when in [0, 4].
+_S2D_ROW = (2 * np.arange(3).reshape(3, 1, 1, 1, 1, 1)
+            + np.arange(2).reshape(1, 1, 2, 1, 1, 1)
+            - np.arange(2).reshape(1, 1, 1, 1, 2, 1))
+_S2D_COL = (2 * np.arange(3).reshape(1, 3, 1, 1, 1, 1)
+            + np.arange(2).reshape(1, 1, 1, 2, 1, 1)
+            - np.arange(2).reshape(1, 1, 1, 1, 1, 2))
+_S2D_MASK, _ = np.broadcast_arrays(
+    (_S2D_ROW >= 0) & (_S2D_ROW <= 4) & (_S2D_COL >= 0) & (_S2D_COL <= 4),
+    _S2D_ROW + _S2D_COL)
+_S2D_ROWC = np.clip(_S2D_ROW, 0, 4)
+_S2D_COLC = np.clip(_S2D_COL, 0, 4)
+
+
+def _s2d_weight(w5):
+    """(5,5,C,Co) HWIO kernel -> (3,3,4C,4Co) packed-block kernel.
+
+    One gather + one select at trace time (~1.2 MB for the 64->32 decoder);
+    inside a scan body XLA sees it as loop-invariant elementwise work."""
+    c, co = w5.shape[2], w5.shape[3]
+    w6 = w5[_S2D_ROWC, _S2D_COLC]          # (3,3,2,2,2,2,C,Co)
+    mask = jnp.asarray(_S2D_MASK)[..., None, None]
+    w6 = jnp.where(mask, w6, jnp.zeros((), w5.dtype))
+    # channel layouts: in = (r*2+s)*C + c, out = (a*2+b)*Co + o
+    w6 = w6.transpose(0, 1, 2, 3, 6, 4, 5, 7)  # u,v,r,s,C,a,b,Co
+    return w6.reshape(3, 3, 4 * c, 4 * co)
+
+
+def _s2d_pack(x):
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)       # n, Hb, Wb, r, s, c
+    return x.reshape(n, h // 2, w // 2, 4 * c)
+
+
+def _s2d_unpack(y, co):
+    n, hb, wb, _ = y.shape
+    y = y.reshape(n, hb, wb, 2, 2, co)
+    y = y.transpose(0, 1, 3, 2, 4, 5)        # n, Hb, a, Wb, b, o
+    return y.reshape(n, hb * 2, wb * 2, co)
+
+
+def conv2d_s2d(p, x):
+    """k5 stride-1 pad-2 conv as an exact space-to-depth k3 packed conv.
+
+    Bit-level: each output element sums the identical 25*C products as
+    conv2d; only the MXU accumulation order may differ (parity-tested to
+    f32 rounding in tests/test_layers.py)."""
+    w5 = p["weight"]
+    out = lax.conv_general_dilated(
+        _s2d_pack(x), _s2d_weight(w5), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    out = _s2d_unpack(out, w5.shape[3])
+    if "bias" in p and p["bias"] is not None:
+        out = out + p["bias"]
+    return out
+
+
+def _s2d_max_in():
+    """EVREAL_S2D = max input channel count to repack (0/unset = off).
+
+    Measured (BASELINE.md round 4): the repack only targets the one soft
+    kernel — set 64 to repack the full-res 64->32 decoder conv and leave
+    the roofline-bound h/2 and h/4 decoders alone."""
+    raw = os.environ.get("EVREAL_S2D", "0")
+    try:
+        return int(raw)
+    except ValueError:
+        raise ValueError(f"EVREAL_S2D={raw!r}: expected an integer "
+                         "(max in-channels to space-to-depth repack; 0=off)")
+
+
+def _s2d_applicable(p, x, stride, padding):
+    w = p["weight"]
+    return (stride == 1 and padding in (2, (2, 2))
+            and w.shape[0] == 5 and w.shape[1] == 5
+            and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+            and w.shape[2] <= _s2d_max_in())
+
+
+# ---------------------------------------------------------------------------
 # Reference composite blocks (model/submodules.py).
 # ---------------------------------------------------------------------------
 
@@ -228,7 +329,10 @@ def upsample_conv_layer(p, x, *, padding=0, activation="relu", norm=None):
     """UpsampleConvLayer (submodules.py:69-97): 2x bilinear then conv."""
     n, h, w, _ = x.shape
     up = resize_bilinear(x, 2 * h, 2 * w)
-    out = conv2d(p["conv2d"], up, stride=1, padding=padding)
+    if _s2d_applicable(p["conv2d"], up, 1, padding):
+        out = conv2d_s2d(p["conv2d"], up)
+    else:
+        out = conv2d(p["conv2d"], up, stride=1, padding=padding)
     out = _apply_norm(p, out, norm, tracked_in=True)
     act = activation_fn(activation)
     return act(out) if act is not None else out

@@ -9,6 +9,9 @@ Legs (each its own BatchedRunner / compiled program, same process):
                      all lanes x chunk_t windows, then the model scan)
   * ``pallas``     — fused with EVREAL_VOXELIZE=pallas (the whole-chunk
                      kernel's window grid maps over the N lanes per step)
+  * ``s2d``        — fused with EVREAL_S2D=64: the full-res 64->32 k5
+                     decoder conv (the one soft kernel in the per-kernel
+                     cost table) lowered as a space-to-depth k3 packed conv
 
 Interleaved reps (fused/unfused/fused/... within one process, deltas per
 rep) so chip-state drift cancels — the op-latency axis drifts 6x on
@@ -59,6 +62,10 @@ def build_leg(leg, model, params, n, chunk_t, dtype):
         os.environ["EVREAL_VOXELIZE"] = "pallas"
     else:
         os.environ.pop("EVREAL_VOXELIZE", None)
+    if leg == "s2d":
+        os.environ["EVREAL_S2D"] = "64"
+    else:
+        os.environ.pop("EVREAL_S2D", None)
     runner_mod.FUSED = leg != "unfused"
     try:
         r = BatchedRunner(model, params, event_norm=True,
@@ -69,6 +76,7 @@ def build_leg(leg, model, params, n, chunk_t, dtype):
     finally:
         os.environ.pop("EVREAL_DTYPE", None)
         os.environ.pop("EVREAL_VOXELIZE", None)
+        os.environ.pop("EVREAL_S2D", None)
 
 
 def main():
@@ -79,7 +87,7 @@ def main():
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--legs", nargs="+", default=["fused", "unfused"],
-                    choices=["fused", "unfused", "pallas"])
+                    choices=["fused", "unfused", "pallas", "s2d"])
     ap.add_argument("--reps", type=int, default=4)
     ap.add_argument("--iters", type=int, default=4)
     args = ap.parse_args()
