@@ -53,7 +53,12 @@ def make_buffers(rng, n, chunk_t):
     return bufs
 
 
-def build_leg(leg, model, params, n, chunk_t, dtype):
+def build_leg(leg, model, params, n, chunk_t, dtype, dev_bufs):
+    """Build AND compile+warm under this leg's env — jax.jit traces at the
+    first call, not at _build(), so trace-time env reads (EVREAL_S2D) must
+    still see the leg's settings during the warm run."""
+    import jax
+
     from evreal_tpu.harness import runner as runner_mod
     from evreal_tpu.harness.batched import BatchedRunner
 
@@ -72,7 +77,10 @@ def build_leg(leg, model, params, n, chunk_t, dtype):
                           post_norm="robust", height=H, width=W,
                           num_bins=5, n=n, chunk_t=chunk_t)
         r._fn = r._build()  # trace under this leg's FUSED setting
-        return r
+        st = r.init_state()
+        st, imgs, _ = r.run(st, dev_bufs)  # compile + warm, env still set
+        jax.block_until_ready(imgs)
+        return r, st, np.asarray(imgs)
     finally:
         os.environ.pop("EVREAL_DTYPE", None)
         os.environ.pop("EVREAL_VOXELIZE", None)
@@ -109,14 +117,12 @@ def main():
     outs = {}
     for leg in args.legs:
         t0 = time.perf_counter()
-        r = build_leg(leg, model, params, n, chunk_t, args.dtype)
-        st = r.init_state()
-        st, imgs, _ = r.run(st, dev_bufs)  # compile + warm
-        float(imgs.sum())
+        r, st, imgs = build_leg(leg, model, params, n, chunk_t, args.dtype,
+                                dev_bufs)
         print(f"{leg}: compiled+warm in {time.perf_counter() - t0:.1f}s",
               flush=True)
         runners[leg] = (r, st)
-        outs[leg] = np.asarray(imgs)
+        outs[leg] = imgs
 
     ref_leg = args.legs[0]
     for leg in args.legs[1:]:

@@ -70,10 +70,22 @@ def provision_dataset(n_seqs=2, height=180, width=240, duration=3.0,
 
 
 def provision_checkpoints(methods):
+    import shutil
+
     from bench_methods import make_full_size_checkpoints
 
     missing = [m for m in methods if not os.path.exists(
         os.path.join(_REPO, "pretrained", m, "model.pth"))]
+    # FireNet/FireNet+ ship real weights with the reference (the quickstart
+    # copy in README.md); everything else is authentic-schema random weights
+    for m in list(missing):
+        src = os.path.join("/root/reference/pretrained", m, "model.pth")
+        if os.path.exists(src):
+            dst = os.path.join(_REPO, "pretrained", m, "model.pth")
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.copyfile(src, dst)
+            print(f"copied shipped checkpoint for {m}", flush=True)
+            missing.remove(m)
     if missing:
         print(f"synthesizing checkpoints: {missing}", flush=True)
         make_full_size_checkpoints(_REPO, missing)
