@@ -314,6 +314,124 @@ def _s2d_applicable(p, x, stride, padding):
 
 
 # ---------------------------------------------------------------------------
+# Fused 2x-bilinear-upsample + k5 conv (EVREAL_UPFUSE).
+#
+# UpsampleConvLayer (reference submodules.py:69-97) is 2x bilinear resize then
+# a k5 pad-2 conv. The bilinear is a 2-phase 2-tap linear map per axis
+# (out[2p] = .25 x[p-1] + .75 x[p], out[2p+1] = .75 x[p] + .25 x[p+1], edges
+# clamped), so the resize composes INTO the conv: fold the 4-tap blend into
+# the 5x5 kernel and run ONE k5 conv on the pre-upsample grid emitting the 4
+# output phases as channels — (H, W, C) -> (H, W, 4*Co), depth-to-space to
+# (2H, 2W, Co). Exactly 25*C*4Co MACs per input pixel = the full-res conv's
+# MAC count (1.0x, unlike the 1.44x S2D repack above), the HBM-bound resize
+# kernels are gone (0.029 ms/frame in the b128 bf16 chunk profile,
+# BASELINE.md), and the one soft MXU kernel (full-res 64->32 k5, 72.6 TF/s)
+# becomes a half-res 64->128 conv with MXU-friendly channel tiles.
+#
+# Translation invariance breaks only where the conv's zero padding meets the
+# resize's edge clamp (no single padded input reproduces both: up[-1] must be
+# 0 for the conv pad while up[0] = x[0] needs the clamp — contradictory
+# 2-tap constraints on any virtual x[-1]). The composed conv therefore runs
+# on x edge-replicated by 1 then zero-padded by 1 (exact for all interior
+# outputs), and the outermost 2-pixel output frame is recomputed exactly by
+# four thin band convs over true upsampled strips and pasted in place.
+# ---------------------------------------------------------------------------
+
+def _upfuse_row_map():
+    """A[a, dy, u]: coefficient of padded-input tap u (over XP = zero-pad-1 o
+    replicate-1(x)) in output phase a's composed kernel row, for original
+    kernel row dy. Rows sum to 1 (the bilinear taps are a partition)."""
+    a_map = np.zeros((2, 5, 5), np.float64)
+    g = ((0.25, 0.75), (0.75, 0.25))  # even/odd up-phase taps
+    for a in range(2):
+        for dy in range(5):
+            dyp = a + dy - 2            # up-row offset relative to 2i
+            r = dyp & 1
+            p_blk = (dyp - r) >> 1
+            for alpha in range(2):
+                a_map[a, dy, p_blk + 1 + r + alpha] += g[r][alpha]
+    return a_map
+
+
+_UPFUSE_A = _upfuse_row_map()
+
+
+def _upfuse_weight(w5):
+    """(5,5,C,Co) HWIO kernel -> (5,5,C,4Co) composed kernel over the
+    replicate+zero padded half-res grid; output channels phase-major
+    ((a*2+b)*Co + o), matching _s2d_unpack. Loop-invariant inside scan."""
+    a_coef = jnp.asarray(_UPFUSE_A, jnp.float32)
+    wc = jnp.einsum("adu,bev,deco->uvcabo", a_coef, a_coef,
+                    w5.astype(jnp.float32))
+    c, co = w5.shape[2], w5.shape[3]
+    return wc.reshape(5, 5, c, 4 * co).astype(w5.dtype)
+
+
+def _upfuse_pad(x):
+    """Edge-replicate by 1 then zero-pad by 1 on both spatial axes."""
+    x = jnp.concatenate([x[:, :1], x, x[:, -1:]], axis=1)
+    x = jnp.concatenate([x[:, :, :1], x, x[:, :, -1:]], axis=2)
+    return jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+
+
+def _conv_valid(x, w):
+    return lax.conv_general_dilated(
+        x, w, (1, 1), [(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _upfuse_borders(w5, x, y):
+    """Overwrite the 2-px output frame of y with the exact
+    conv(zero-pad-2(upsample2x(x))) values via thin band convs."""
+    h, w = x.shape[1], x.shape[2]
+
+    def zpad(s, rows, cols):
+        return jnp.pad(s, ((0, 0), rows, cols, (0, 0)))
+
+    # top/bottom: true up rows adjacent to the boundary come from 3 x-rows
+    # (the strip contains the real clamp edge, so its resize is exact there)
+    top = resize_bilinear(x[:, :3], 6, 2 * w)[:, :4]
+    bot = resize_bilinear(x[:, -3:], 6, 2 * w)[:, 2:]
+    y = y.at[:, :2].set(_conv_valid(zpad(top, (2, 0), (2, 2)), w5))
+    y = y.at[:, -2:].set(_conv_valid(zpad(bot, (0, 2), (2, 2)), w5))
+    left = resize_bilinear(x[:, :, :3], 2 * h, 6)[:, :, :4]
+    right = resize_bilinear(x[:, :, -3:], 2 * h, 6)[:, :, 2:]
+    # the row bands above already fixed the corners; the column bands
+    # recompute them identically (both are the true values)
+    y = y.at[:, :, :2].set(_conv_valid(zpad(left, (2, 2), (2, 0)), w5))
+    y = y.at[:, :, -2:].set(_conv_valid(zpad(right, (2, 2), (0, 2)), w5))
+    return y
+
+
+def upsample_conv2x_fused(p, x):
+    """2x bilinear upsample + k5 pad-2 conv as one composed conv on the
+    pre-upsample grid. Same per-output math as resize_bilinear -> conv2d
+    up to fp reassociation (the 4-tap blend folds into the kernel);
+    parity-tested in tests/test_upfuse.py."""
+    w5 = p["weight"]
+    y = _s2d_unpack(_conv_valid(_upfuse_pad(x), _upfuse_weight(w5)),
+                    w5.shape[3])
+    y = _upfuse_borders(w5, x, y)
+    if "bias" in p and p["bias"] is not None:
+        y = y + p["bias"]
+    return y
+
+
+def _upfuse_on():
+    raw = os.environ.get("EVREAL_UPFUSE", "0")
+    if raw not in ("0", "1"):
+        raise ValueError(f"EVREAL_UPFUSE={raw!r}: expected 0|1 "
+                         "(fold the 2x bilinear upsample into the k5 conv)")
+    return raw == "1"
+
+
+def _upfuse_applicable(p, x, padding):
+    w = p["weight"]
+    return (padding in (2, (2, 2)) and w.shape[0] == 5 and w.shape[1] == 5
+            and x.shape[1] >= 3 and x.shape[2] >= 3 and _upfuse_on())
+
+
+# ---------------------------------------------------------------------------
 # Reference composite blocks (model/submodules.py).
 # ---------------------------------------------------------------------------
 
@@ -328,11 +446,14 @@ def conv_layer(p, x, *, stride=1, padding=0, activation="relu", norm=None):
 def upsample_conv_layer(p, x, *, padding=0, activation="relu", norm=None):
     """UpsampleConvLayer (submodules.py:69-97): 2x bilinear then conv."""
     n, h, w, _ = x.shape
-    up = resize_bilinear(x, 2 * h, 2 * w)
-    if _s2d_applicable(p["conv2d"], up, 1, padding):
-        out = conv2d_s2d(p["conv2d"], up)
+    if _upfuse_applicable(p["conv2d"], x, padding):
+        out = upsample_conv2x_fused(p["conv2d"], x)
     else:
-        out = conv2d(p["conv2d"], up, stride=1, padding=padding)
+        up = resize_bilinear(x, 2 * h, 2 * w)
+        if _s2d_applicable(p["conv2d"], up, 1, padding):
+            out = conv2d_s2d(p["conv2d"], up)
+        else:
+            out = conv2d(p["conv2d"], up, stride=1, padding=padding)
     out = _apply_norm(p, out, norm, tracked_in=True)
     act = activation_fn(activation)
     return act(out) if act is not None else out
