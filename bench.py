@@ -407,6 +407,13 @@ def main():
     from evreal_tpu.harness import runner as runner_mod
     runner_mod.SCAN_UNROLL = int(os.environ.get("EVREAL_SCAN_UNROLL", "4"))
 
+    # ... and fold the decoders' 2x bilinear upsample into the k5 convs —
+    # measured +2.3% median in the bracketed b128 bf16 chunk A/B
+    # (BASELINE.md "Upsample folded into the decoder conv"). The CLI
+    # default stays 0 so golden score files reproduce bit-for-bit; an
+    # explicit EVREAL_UPFUSE still wins.
+    os.environ.setdefault("EVREAL_UPFUSE", "1")
+
     def run_probes():
         # tiny-probe mode exists for the CPU smoke test only: same code
         # paths, shapes a 1-core host can execute in seconds

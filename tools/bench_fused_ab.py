@@ -12,6 +12,9 @@ Legs (each its own BatchedRunner / compiled program, same process):
   * ``s2d``        — fused with EVREAL_S2D=64: the full-res 64->32 k5
                      decoder conv (the one soft kernel in the per-kernel
                      cost table) lowered as a space-to-depth k3 packed conv
+  * ``upfuse``     — fused with EVREAL_UPFUSE=1: the decoders' 2x bilinear
+                     upsample folded into the k5 conv (one composed conv on
+                     the pre-upsample grid, resize kernels eliminated)
 
 Interleaved reps (fused/unfused/fused/... within one process, deltas per
 rep) so chip-state drift cancels — the op-latency axis drifts 6x on
@@ -71,6 +74,10 @@ def build_leg(leg, model, params, n, chunk_t, dtype, dev_bufs):
         os.environ["EVREAL_S2D"] = "64"
     else:
         os.environ.pop("EVREAL_S2D", None)
+    if leg == "upfuse":
+        os.environ["EVREAL_UPFUSE"] = "1"
+    else:
+        os.environ.pop("EVREAL_UPFUSE", None)
     runner_mod.FUSED = leg != "unfused"
     try:
         r = BatchedRunner(model, params, event_norm=True,
@@ -85,6 +92,7 @@ def build_leg(leg, model, params, n, chunk_t, dtype, dev_bufs):
         os.environ.pop("EVREAL_DTYPE", None)
         os.environ.pop("EVREAL_VOXELIZE", None)
         os.environ.pop("EVREAL_S2D", None)
+        os.environ.pop("EVREAL_UPFUSE", None)
 
 
 def main():
@@ -95,7 +103,7 @@ def main():
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--legs", nargs="+", default=["fused", "unfused"],
-                    choices=["fused", "unfused", "pallas", "s2d"])
+                    choices=["fused", "unfused", "pallas", "s2d", "upfuse"])
     ap.add_argument("--reps", type=int, default=4)
     ap.add_argument("--iters", type=int, default=4)
     args = ap.parse_args()
