@@ -104,8 +104,12 @@ def main():
     ap.add_argument("--timeout", type=int, default=3600,
                     help="per-condition CLI timeout (s)")
     ap.add_argument("--skip-analysis", action="store_true")
+    ap.add_argument("--conditions", nargs="+", default=None,
+                    help="resume subset (e.g. t60ms t70ms); default = all")
     args = ap.parse_args()
     conditions = T_CONDITIONS if args.family == "t" else K_CONDITIONS
+    if args.conditions:
+        conditions = args.conditions
 
     provision_dataset()
     provision_checkpoints(args.methods)
