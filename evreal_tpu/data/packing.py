@@ -337,8 +337,8 @@ def pack_windows(seq, indices, capacity=None, out=None, metas=None,
                     .astype(np.uint16)
         else:
             out["ts"][row, :n] = (ets - ets[0]).astype(np.float32)
-        out["ps"][row, :n] = (np.asarray(seq.p[i0:i1]).astype(np.int8)
-                              & 1) * 2 - 1
+        out["ps"][row, :n] = (
+            polarity_bit(seq.p[i0:i1]).astype(np.int8) * 2 - 1)
 
     return out, metas
 

@@ -390,3 +390,52 @@ def test_serve_pack_window_compact4():
         want = encode_compact4(xs, ys, np.asarray(ts, np.float64), ps,
                                (h, w))
         np.testing.assert_array_equal(bufs["ev"][0, :n], want)
+
+
+def test_polarity_convention_all_wires(tmp_path):
+    """Every wire agrees on event sign for every on-disk polarity encoding:
+    {0,1} u8, {0,255} u8 (LSB convention: 255 & 1 == 1), and signed ±1 i8
+    (sign convention). Reference dataset.py:227 assumes {0,1}; the wires
+    must not silently disagree on anything else (advisor round-3 finding)."""
+    from evreal_tpu.data.packing import compact4_layout, polarity_bit
+
+    h, w, n = 6, 8, 64
+    rng = np.random.default_rng(3)
+    bits = rng.integers(0, 2, n)
+    encodings = {
+        "u8_01": bits.astype(np.uint8),
+        "u8_0255": (bits * 255).astype(np.uint8),
+        "i8_pm1": (bits * 2 - 1).astype(np.int8),
+    }
+    want_sign = bits.astype(np.int8) * 2 - 1
+    np.testing.assert_array_equal(
+        polarity_bit(encodings["u8_01"]), bits)
+    np.testing.assert_array_equal(
+        polarity_bit(encodings["u8_0255"]), bits)
+    np.testing.assert_array_equal(
+        polarity_bit(encodings["i8_pm1"]), bits)
+
+    idx_bits, _ = compact4_layout((h, w))
+    for name, p in encodings.items():
+        d = tmp_path / name
+        d.mkdir()
+        ts = np.sort(rng.uniform(0, 0.1, n)).astype(np.float64)
+        xy = np.stack([rng.integers(0, w, n), rng.integers(0, h, n)],
+                      axis=1).astype(np.int16)
+        np.save(d / "events_ts.npy", ts)
+        np.save(d / "events_xy.npy", xy)
+        np.save(d / "events_p.npy", p)
+        (d / "metadata.json").write_text(
+            json.dumps({"sensor_resolution": [h, w]}))
+        seq = Sequence(str(d), voxel_method={"method": "k_events", "k": n,
+                                             "sliding_window_w": 0})
+        f32b, _ = pack_windows(seq, [0], wire="f32")
+        cb, _ = pack_windows(seq, [0], wire="compact")
+        c4, _ = pack_windows(seq, [0], wire="compact4")
+        np.testing.assert_array_equal(f32b["ps"][0, :n], want_sign,
+                                      err_msg=f"f32 wire, {name}")
+        np.testing.assert_array_equal(cb["ps"][0, :n], want_sign,
+                                      err_msg=f"compact wire, {name}")
+        c4_bits = (c4["ev"][0, :n].astype(np.uint64) >> 31).astype(np.int8)
+        np.testing.assert_array_equal(c4_bits * 2 - 1, want_sign,
+                                      err_msg=f"compact4 wire, {name}")
