@@ -148,8 +148,8 @@ def main():
     if not args.skip_analysis:
         cmd = [sys.executable, os.path.join(_REPO, "analysis",
                                             "robustness.py"),
-               "--metric", "mse", "--outputs", os.path.join(_REPO,
-                                                            "outputs")]
+               "--metric", "mse", "--datasets", "SYN_SWEEP",
+               "--outputs", os.path.join(_REPO, "outputs")]
         r = subprocess.run(cmd, cwd=_REPO, capture_output=True, text=True,
                            timeout=600)
         print(r.stdout[-2000:], flush=True)
