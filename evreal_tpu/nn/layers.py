@@ -426,9 +426,13 @@ def _upfuse_on():
 
 
 def _upfuse_applicable(p, x, padding):
+    # _upfuse_on() first: a malformed EVREAL_UPFUSE must fail loudly even
+    # when no k5/pad-2 layer is ever hit (ADVICE r04)
+    if not _upfuse_on():
+        return False
     w = p["weight"]
     return (padding in (2, (2, 2)) and w.shape[0] == 5 and w.shape[1] == 5
-            and x.shape[1] >= 3 and x.shape[2] >= 3 and _upfuse_on())
+            and x.shape[1] >= 3 and x.shape[2] >= 3)
 
 
 # ---------------------------------------------------------------------------

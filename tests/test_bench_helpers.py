@@ -112,6 +112,63 @@ def test_bench_main_streamed_fallback_cpu():
     assert "prestaged_fps" not in out and "staged_upload_s" not in out
 
 
+def test_sick_classifier():
+    """Missing probe keys are unclassifiable and count as sick (retrying
+    can only help); a fully healthy probe dict is not sick; the three
+    degradation axes each flip it independently."""
+    import bench
+
+    assert bench._sick({})
+    healthy = {"throttled": False, "op_latency_degraded": False,
+               "host_contended": False}
+    assert not bench._sick(healthy)
+    for axis in ("throttled", "op_latency_degraded", "host_contended"):
+        assert bench._sick({**healthy, axis: True}), axis
+
+
+def test_retry_phase_always_reemits_final_line(capsys, monkeypatch):
+    """r04 post-mortem: the retry phase may never cost the artifact. Even
+    when the budget is too small for a single probe, it must end by
+    re-emitting the winning JSON line with retry provenance as the final
+    stdout line (the driver parses the tail)."""
+    import json
+
+    import bench
+
+    monkeypatch.setenv("EVREAL_BENCH_WAIT_S", "1")
+    first = {"metric": "m", "value": 1.0, "unit": "frames/s",
+             "backend": "tpu", "throttled": True}
+    bench.retry_for_healthy_window(first)
+    lines = capsys.readouterr().out.strip().splitlines()
+    out = json.loads(lines[-1])
+    assert out["value"] == 1.0
+    assert out["retry_result"] == "no_healthy_window"
+    assert "retry_waited_s" in out
+
+
+def test_retry_phase_skips_non_tpu_and_healthy(capsys, monkeypatch):
+    """No retry chatter on CPU smoke runs or healthy captures."""
+    import bench
+
+    monkeypatch.setenv("EVREAL_BENCH_WAIT_S", "600")
+    bench.retry_for_healthy_window({"value": 1.0, "backend": "cpu",
+                                    "throttled": True})
+    bench.retry_for_healthy_window({"value": 1.0, "backend": "tpu",
+                                    "throttled": False,
+                                    "op_latency_degraded": False})
+    assert capsys.readouterr().out == ""
+
+
+def test_probe_subprocess_failure_is_recorded():
+    """A failed probe subprocess must say WHY (r04 printed `{}` for a
+    probe that itself died, indistinguishable from a throttle)."""
+    import bench
+
+    out = bench._run_probe_subprocess(0.2)  # cannot even start jax in time
+    assert "probe_error" in out
+    assert "timed out" in out["probe_error"]
+
+
 def test_backend_guard_fires_in_subprocess():
     """Un-cancelled, the guard prints the error JSON and exits 3 — the
     driver records a self-describing artifact instead of hanging."""

@@ -44,6 +44,8 @@ ALL_METHODS = ["E2VID", "FireNet", "E2VID+", "FireNet+", "SPADE-E2VID",
                "SSL-E2VID", "ET-Net", "HyperE2VID"]
 T_CONDITIONS = [f"t{t}ms" for t in range(10, 101, 10)]
 K_CONDITIONS = [f"k{k}k" for k in range(5, 46, 5)]
+KR_CONDITIONS = [f"kr{r / 10:.1f}" for r in range(1, 11)]
+FAMILIES = {"t": T_CONDITIONS, "k": K_CONDITIONS, "kr": KR_CONDITIONS}
 
 
 def provision_dataset(n_seqs=2, height=180, width=240, duration=3.0,
@@ -62,11 +64,19 @@ def provision_dataset(n_seqs=2, height=180, width=240, duration=3.0,
             print(f"synthesized {d}", flush=True)
         seqs[seq] = {}
     cfg = os.path.join(_REPO, "config", "dataset", "SYN_SWEEP.json")
+    want = {"name": "SYN_SWEEP", "root_path": "data/SYN_SWEEP",
+            "sequences": seqs}
     if not os.path.exists(cfg):
         with open(cfg, "w", encoding="utf-8") as f:
-            json.dump({"name": "SYN_SWEEP", "root_path": "data/SYN_SWEEP",
-                       "sequences": seqs}, f)
+            json.dump(want, f)
+            f.write("\n")
         print(f"wrote {cfg}", flush=True)
+    else:  # a checked-in config must not drift from what we'd generate
+        with open(cfg, encoding="utf-8") as f:
+            have = json.load(f)
+        if have != want:
+            raise SystemExit(f"{cfg} does not match what provision_dataset "
+                             f"would write; delete it to regenerate")
 
 
 def provision_checkpoints(methods):
@@ -99,7 +109,7 @@ def cache_population():
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--family", choices=["t", "k"], default="t")
+    ap.add_argument("--family", choices=sorted(FAMILIES), default="t")
     ap.add_argument("--methods", nargs="+", default=ALL_METHODS)
     ap.add_argument("--timeout", type=int, default=3600,
                     help="per-condition CLI timeout (s)")
@@ -107,8 +117,13 @@ def main():
     ap.add_argument("--conditions", nargs="+", default=None,
                     help="resume subset (e.g. t60ms t70ms); default = all")
     args = ap.parse_args()
-    conditions = T_CONDITIONS if args.family == "t" else K_CONDITIONS
+    conditions = FAMILIES[args.family]
     if args.conditions:
+        bad = [c for c in args.conditions if c not in conditions]
+        if bad:
+            ap.error(f"--conditions {' '.join(bad)}: not in the "
+                     f"--family {args.family} sweep; allowed: "
+                     f"{' '.join(conditions)}")
         conditions = args.conditions
 
     provision_dataset()
