@@ -18,23 +18,30 @@ import numpy as np
 
 
 def build(arch, num_bins):
+    """(model, params, meta) — meta is the converted-checkpoint sidecar
+    schema (convert/torch_ckpt.py), so a trained model.npz reloads through
+    the eval CLI's load_method_params like any converted reference
+    checkpoint."""
     from evreal_tpu.models import build_model
     from evreal_tpu.models.init import init_e2vid, init_firenet
 
     if arch == "firenet":
-        model = build_model("FireNet", {"num_bins": num_bins,
-                                        "base_num_channels": 16,
-                                        "kernel_size": 3})
+        kwargs = {"num_bins": num_bins, "base_num_channels": 16,
+                  "kernel_size": 3}
+        model = build_model("FireNet", kwargs)
         params = init_firenet(num_bins=num_bins)
+        # the reference forces num_encoders 0 for this arch (eval.py:154-155)
+        meta = {"class": "FireNet", "kwargs": kwargs, "num_encoders": 0}
     elif arch == "e2vid":
         from evreal_tpu.models import flagship_e2vid_kwargs
 
-        model = build_model("E2VIDRecurrent",
-                            flagship_e2vid_kwargs(num_bins))
+        kwargs = flagship_e2vid_kwargs(num_bins)
+        model = build_model("E2VIDRecurrent", kwargs)
         params = init_e2vid(num_bins=num_bins)
+        meta = {"class": "E2VIDRecurrent", "kwargs": kwargs}
     else:
         raise SystemExit(f"unknown arch {arch}")
-    return model, params
+    return model, params, meta
 
 
 def sample_batch(seqs, voxelize, rng, batch, chunk_t, num_bins, crop):
@@ -125,7 +132,7 @@ def main(argv=None):
         v = stage(dict(buffers))
         return crop.pad(v)
 
-    model, params = build(args.arch, args.num_bins)
+    model, params, ckpt_meta = build(args.arch, args.num_bins)
     mesh = None
     if args.mesh and len(jax.devices()) > 1:
         mesh = make_mesh(len(jax.devices()), axes=("dp", "sp", "tp"))
@@ -208,7 +215,11 @@ def main(argv=None):
                 flat[key] = np.asarray(v)
 
     flatten("", params)
-    np.savez(out_path, **flat)
+    from evreal_tpu.convert.torch_ckpt import save_params
+
+    # npz + meta sidecar: the trained checkpoint drops into a method
+    # config's model_path and evaluates like any converted reference one
+    save_params(out_path, flat, ckpt_meta)
     print(f"saved {out_path}")
 
 

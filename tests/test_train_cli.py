@@ -51,3 +51,18 @@ def test_train_checkpoint_resume(tmp_path, monkeypatch, capsys):
     for k in full:
         np.testing.assert_allclose(resumed[k], full[k], atol=1e-5,
                                    err_msg=k)
+
+    # the trained checkpoint must reload through the eval CLI's loader
+    # (meta sidecar written by save_params) and run a forward pass
+    from evreal_tpu.harness.runner import load_method_params
+    from evreal_tpu.models import build_from_meta
+
+    params, meta = load_method_params(
+        {"model_name": "FireNet",
+         "model_path": str(tmp_path / "full" / "model.npz")})
+    assert meta["class"] == "FireNet" and meta["num_encoders"] == 0
+    model = build_from_meta(meta)
+    state = model.init_state(1, 16, 16)
+    out, _ = model.apply(params, state, np.zeros((1, 16, 16, 5),
+                                                 np.float32))
+    assert np.isfinite(np.asarray(out["image"])).all()
