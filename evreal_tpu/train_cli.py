@@ -178,6 +178,9 @@ def main(argv=None):
             start_step = latest
             print(f"resumed from step {latest}", flush=True)
 
+    import time as _time
+
+    log_t, log_step = None, start_step
     for step in range(start_step + 1, args.steps + 1):
         # per-step generator: a resumed run reproduces exactly the batch
         # stream an uninterrupted run would have consumed, with no replay
@@ -193,7 +196,14 @@ def main(argv=None):
             }
         params, opt_state, loss = step_fn(params, opt_state, batch)
         if step % args.log_every == 0 or step == 1:
-            print(f"step {step}: loss {float(loss):.5f}", flush=True)
+            loss_v = float(loss)  # device sync: wall below is real work
+            now = _time.perf_counter()
+            rate = ""
+            if log_t is not None and step > log_step:
+                rate = (f" ({(step - log_step) / (now - log_t):.2f} "
+                        f"steps/s)")
+            log_t, log_step = now, step
+            print(f"step {step}: loss {loss_v:.5f}{rate}", flush=True)
         if manager is not None and args.save_every > 0 and \
                 step % args.save_every == 0:
             import orbax.checkpoint as ocp
