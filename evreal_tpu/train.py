@@ -33,17 +33,25 @@ def sequence_loss(model, params, voxels, frames, remat=True, loss="mse",
     tail windows of short sequences must not be scored against black frames
     (their gradient pulls the model toward outputting black).
 
-    ``loss``: '+'-joined terms from {mse, lpips}. The LPIPS term runs the
-    metric port (metrics/lpips.py — pure jnp convs, fully differentiable)
-    on the raw model outputs (no clipping: it would zero gradients outside
-    [0,1]; the trained architectures end in a sigmoid anyway)."""
+    ``loss``: '+'-joined terms from {mse, lpips, bce}. The LPIPS term runs
+    the metric port (metrics/lpips.py — pure jnp convs, fully
+    differentiable) on the raw model outputs (no clipping: it would zero
+    gradients outside [0,1]; the trained architectures end in a sigmoid
+    anyway). The BCE term (soft-target cross-entropy) is the stable choice
+    for sigmoid-output models: its gradient w.r.t. the pre-sigmoid logit is
+    (p - y) with NO sigma' factor, so it cannot rail-saturate — measured on
+    chip (2026-08-20): pure-MSE E2VID training on a mostly-dark ECD-scale
+    scene overshot into the dark sigmoid rail within 20 steps and pinned at
+    the all-black loss floor mean(GT^2), with or without input norm, at lr
+    1e-4 and 1e-3 (adam's second-moment memory plus the vanishing sigma'
+    kept it trapped)."""
     n, t, h, w, _ = voxels.shape
     state = model.init_state(n, h, w, dtype=voxels.dtype)
 
     parts = loss.split("+")
-    unknown = set(parts) - {"mse", "lpips"}
+    unknown = set(parts) - {"mse", "lpips", "bce"}
     if unknown or not parts:
-        raise ValueError(f"loss={loss!r}: terms must be mse|lpips")
+        raise ValueError(f"loss={loss!r}: terms must be mse|lpips|bce")
     if "lpips" in parts and lpips_weights is None:
         raise ValueError("loss includes lpips but lpips_weights is None "
                          "(convert them with tools/convert_lpips.py)")
@@ -64,6 +72,21 @@ def sequence_loss(model, params, voxels, frames, remat=True, loss="mse",
     denom = jnp.maximum(jnp.sum(m), 1.0)
     if "mse" in parts:
         per_frame = jnp.mean((imgs - frames) ** 2, axis=(2, 3))  # (N, T)
+        total = total + jnp.sum(per_frame * m) / denom
+    if "bce" in parts:
+        # soft-target cross-entropy on the sigmoid output. The clip only
+        # guards log(0)/log1p(-1); its bounds must sit at the very edge of
+        # f32 — a loose floor (e.g. 1e-6) would zero the gradient for any
+        # deeper-saturated pixel (clip passes no gradient outside its
+        # range), silently recreating the MSE trap this term exists to
+        # avoid (tests/test_train_parallel.py locks the -20-logit case).
+        # f32 sigmoid itself rounds to exactly 0/1 beyond |z|~17-103;
+        # nothing recovers a gradient through an exactly-flat function.
+        p = jnp.clip(imgs.astype(jnp.float32), 1e-35, 1.0 - 1e-7)
+        frames = frames.astype(jnp.float32)
+        per_frame = -jnp.mean(frames * jnp.log(p)
+                              + (1.0 - frames) * jnp.log1p(-p),
+                              axis=(2, 3))  # (N, T)
         total = total + jnp.sum(per_frame * m) / denom
     if "lpips" in parts:
         from evreal_tpu.metrics.lpips import lpips as lpips_fn

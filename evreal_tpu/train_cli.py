@@ -98,10 +98,21 @@ def main(argv=None):
     ap.add_argument("--clip-grad", type=float, default=0.0,
                     help="global-norm gradient clip (0 = off)")
     ap.add_argument("--loss", default="mse",
-                    help="'+'-joined terms from {mse, lpips} (lpips needs "
-                         "converted weights, weights/README.md)")
+                    help="'+'-joined terms from {mse, lpips, bce} (lpips "
+                         "needs converted weights, weights/README.md; bce "
+                         "is the saturation-stable choice for sigmoid-"
+                         "output models — see train.sequence_loss)")
     ap.add_argument("--lpips-scale", type=float, default=1.0)
     ap.add_argument("--num-bins", type=int, default=5)
+    ap.add_argument("--event-norm", action="store_true",
+                    help="zero-mean/unit-std normalize each voxel's nonzero "
+                         "entries (the E2VID/FireNet eval-time input norm). "
+                         "Unnormalized event-count voxels scale with scene "
+                         "activity and saturate a sigmoid-output model early "
+                         "(measured: an ECD-scale E2VID run collapsed to "
+                         "black, loss pinned at mean(GT^2), with raw "
+                         "voxels); evaluate a checkpoint trained with this "
+                         "flag with event_tensor_normalization: true")
     ap.add_argument("--mesh", action="store_true",
                     help="shard over all local devices (dp/sp/tp)")
     ap.add_argument("--out", default="runs/train")
@@ -126,7 +137,8 @@ def main(argv=None):
 
     vox_impl = (voxelize_matmul if default_voxelize_impl() == "matmul"
                 else voxelize_scatter)
-    stage = jax.jit(make_voxel_stage(vox_impl, args.num_bins, (h, w), False))
+    stage = jax.jit(make_voxel_stage(vox_impl, args.num_bins, (h, w),
+                                     args.event_norm))
 
     def voxelize(buffers):
         v = stage(dict(buffers))

@@ -228,6 +228,45 @@ def test_sequence_loss_masks_padded_tail(loss_kind):
     assert full != pytest.approx(short, rel=1e-4)
 
 
+def test_bce_gradient_survives_sigmoid_saturation():
+    """The bce loss term exists because MSE's gradient carries a sigma'
+    factor that vanishes at the sigmoid rails — measured on chip: an
+    ECD-scale E2VID MSE run collapsed to all-black within 20 steps and
+    stayed pinned at mean(GT^2) (train.sequence_loss docstring). With the
+    pred bias forced to -20 (outputs ~2e-9 everywhere), the MSE gradient
+    through that bias must be ~dead while the BCE gradient stays at the
+    healthy (p - y) scale."""
+    import jax.numpy as jnp
+
+    from evreal_tpu.train import sequence_loss
+
+    model = build_model("E2VIDRecurrent", dict(
+        num_bins=5, base_num_channels=8, kernel_size=3, num_encoders=1,
+        num_residual_blocks=1, skip_type="sum", norm=None,
+        use_upsample_conv=True, recurrent_block_type="convlstm",
+        final_activation="sigmoid"))
+    params = init_e2vid(base_num_channels=8, kernel_size=3, num_encoders=1,
+                        num_residual_blocks=1)
+    params["unetrecurrent"]["pred"]["conv2d"]["bias"] = (
+        params["unetrecurrent"]["pred"]["conv2d"]["bias"] - 20.0)
+    rng = np.random.default_rng(0)
+    vox = jnp.asarray(rng.normal(size=(1, 2, 16, 16, 5)), jnp.float32)
+    frames = jnp.asarray(rng.uniform(0.05, 0.3, (1, 2, 16, 16)),
+                         jnp.float32)
+
+    def bias_grad(kind):
+        g = jax.grad(lambda p: sequence_loss(model, p, vox, frames,
+                                             remat=False, loss=kind))(params)
+        return float(np.abs(np.asarray(
+            g["unetrecurrent"]["pred"]["conv2d"]["bias"])).max())
+
+    g_mse, g_bce = bias_grad("mse"), bias_grad("bce")
+    # sigma(-20) ~ 2e-9: the MSE chain carries it twice (error * sigma')
+    assert g_mse < 1e-7, g_mse
+    # BCE's logit-gradient is (p - y): mean target magnitude, no sigma'
+    assert g_bce > 0.05, g_bce
+
+
 def test_sample_batch_emits_gt_mask(tmp_path):
     """sample_batch must mark only windows with a GT frame as valid."""
     import sys
