@@ -327,12 +327,17 @@ def _backend_guard(seconds):
 
 
 def _sick(flags):
-    """A capture/probe state worth retrying out of: MXU/HBM throttle, the
-    independent dispatch-latency axis, or host contention. Missing keys
-    count as sick only for `throttled` (a probe that produced nothing is
-    unclassifiable and retrying can only help)."""
+    """A capture/probe state worth retrying out of: MXU/HBM clock throttle
+    or host contention — the axes the lockstep headline actually depends
+    on. The op-latency (dispatch) axis deliberately does NOT trigger a
+    retry: the b16 lockstep headline is insensitive to it (256 f32
+    resident fps measured in both states, BASELINE.md), it degrades for
+    hours at a time, and r03's op-degraded capture actually beat the
+    healthy-window one — retrying on it burns driver wall-clock for a
+    number that will not improve. Missing keys count as sick only for
+    `throttled` (a probe that produced nothing is unclassifiable and
+    retrying can only help)."""
     return bool(flags.get("throttled", True)
-                or flags.get("op_latency_degraded", True)
                 or flags.get("host_contended", False))
 
 
@@ -391,6 +396,11 @@ def retry_for_healthy_window(first):
             if remaining < interval + 60:
                 break
             time.sleep(interval)
+            # recompute after the sleep so the probe child's timeout can
+            # never push total wall past the budget
+            remaining = budget - (time.perf_counter() - t0)
+            if remaining < 60:
+                break
             probe = _run_probe_subprocess(min(300.0, remaining))
             if "probe_error" in probe:
                 failures.append({k: probe[k] for k in
@@ -399,9 +409,14 @@ def retry_for_healthy_window(first):
                 continue
             if _sick(probe):
                 continue
-            # healthy window: one fresh capture, bounded by what's left
+            # healthy window: one fresh capture, bounded by what's left.
+            # Floor at 240 s: a shorter-bounded child risks being killed
+            # mid-compile if any program misses the persistent cache —
+            # the killed-in-flight-compile condition that wedges this
+            # backend for an hour (CLAUDE.md) costs far more than a
+            # retry could gain.
             remaining = budget - (time.perf_counter() - t0)
-            if remaining < 60:
+            if remaining < 240:
                 break
             try:
                 res = subprocess.run(
@@ -680,6 +695,7 @@ def capture():
     # tradeoff — README): the throughput ceiling when strict f32 parity
     # isn't required. Reported as a separate key; the headline stays the
     # parity configuration the reference scores are defined in.
+    prev_dtype = os.environ.get("EVREAL_DTYPE")
     try:
         if not diag:
             raise _SkipDiag
@@ -713,7 +729,14 @@ def capture():
     except Exception:  # noqa: BLE001 — optional diagnostic, never fatal
         pass
     finally:
-        os.environ.pop("EVREAL_DTYPE", None)
+        # restore, don't pop: a user-set EVREAL_DTYPE must survive into
+        # the retry phase, whose --once child inherits this environment —
+        # popping would compare a retried f32 capture against a first
+        # bf16 one
+        if prev_dtype is None:
+            os.environ.pop("EVREAL_DTYPE", None)
+        else:
+            os.environ["EVREAL_DTYPE"] = prev_dtype
     flops_chunk, _ = runner.cost_analysis(state, compact)
     if flops_chunk:
         from evreal_tpu.utils.mfu import mfu

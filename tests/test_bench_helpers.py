@@ -114,16 +114,20 @@ def test_bench_main_streamed_fallback_cpu():
 
 def test_sick_classifier():
     """Missing probe keys are unclassifiable and count as sick (retrying
-    can only help); a fully healthy probe dict is not sick; the three
-    degradation axes each flip it independently."""
+    can only help); a fully healthy probe dict is not sick; throttle and
+    host contention each flip it — but the op-latency (dispatch) axis
+    does NOT: the lockstep headline is insensitive to it and it degrades
+    for hours, so retrying on it would burn driver wall-clock for
+    nothing."""
     import bench
 
     assert bench._sick({})
     healthy = {"throttled": False, "op_latency_degraded": False,
                "host_contended": False}
     assert not bench._sick(healthy)
-    for axis in ("throttled", "op_latency_degraded", "host_contended"):
+    for axis in ("throttled", "host_contended"):
         assert bench._sick({**healthy, axis: True}), axis
+    assert not bench._sick({**healthy, "op_latency_degraded": True})
 
 
 def test_retry_phase_always_reemits_final_line(capsys, monkeypatch):

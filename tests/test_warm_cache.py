@@ -80,3 +80,21 @@ def test_warm_cache_cli_dedupes_and_is_hit_on_rerun(tmp_path, monkeypatch):
     assert len(out2["programs"]) == 1
     assert out2["programs"][0]["new_cache_entries"] == 0, out2
     assert out2["cache_population"] == out["cache_population"]
+
+    # a second dataset at a DIFFERENT resolution but the same capacity
+    # bucket and group width is a distinct compiled program — the dedup
+    # signature must not collide on buffer shapes alone (compact wires
+    # are resolution-independent)
+    for i in range(2):
+        make_sequence(str(tmp_path / "data" / "SYN2" / f"seq{i}"),
+                      height=24, width=40, duration_s=0.4, fps=15,
+                      events_per_frame=300, seed=30 + i)
+    with open("config/dataset/SYN2.json", "w", encoding="utf-8") as f:
+        json.dump({"root_path": "data/SYN2",
+                   "sequences": {"seq0": {}, "seq1": {}}}, f)
+    out3 = _run(["-m", "E2VID", "-c", "std", "-d", "SYN", "SYN2"],
+                str(tmp_path), cache)
+    assert len(out3["programs"]) == 2, out3
+    by_label = {p["program"]: p for p in out3["programs"]}
+    syn2 = next(p for label, p in by_label.items() if "SYN2" in label)
+    assert syn2["new_cache_entries"] >= 1, out3

@@ -60,21 +60,28 @@ def _sds_tree(tree):
 
 
 def _bufs_sds(shape_prefix, capacity, dtypes):
-    """ShapeDtypeStructs matching packing.alloc_buffers exactly."""
+    """ShapeDtypeStructs via the same builder the CLI allocates with, so a
+    wire-format key change cannot desynchronize the warmed signature."""
     import jax
 
-    out = {k: jax.ShapeDtypeStruct(shape_prefix + (capacity,), d)
-           for k, d in dtypes.items() if k != "count"}
-    out["count"] = jax.ShapeDtypeStruct(shape_prefix, dtypes["count"])
-    return out
+    from evreal_tpu.data.packing import alloc_buffers
+
+    return alloc_buffers(shape_prefix, capacity, dtypes,
+                         alloc=lambda s, d: jax.ShapeDtypeStruct(tuple(s),
+                                                                 d))
 
 
 def _compile_one(label, sig_key, runner, bufs_sds, seen, results):
     """AOT-compile one runner program at one buffer signature (dedup'd:
     sweep families share capacity buckets by design, so most conditions
-    resolve to an already-warmed program)."""
+    resolve to an already-warmed program). The signature must carry
+    everything that changes the compiled program: resolution and num_bins
+    are NOT recoverable from the buffer shapes (compact wires are
+    resolution-independent), so same-capacity groups at different sensor
+    resolutions are distinct programs."""
     state = runner.init_state()  # tiny dispatch; shapes are what we need
     sig = (sig_key, type(runner).__name__, runner.chunk_t,
+           (runner.h, runner.w), runner.num_bins,
            tuple(sorted((k, str(v.dtype), tuple(v.shape))
                         for k, v in bufs_sds.items())))
     if sig in seen:
@@ -105,24 +112,42 @@ def warm_cli(methods, config_names, dataset_names, seen, results):
 
     eval_configs = get_eval_configs(config_names)
     dataset_configs = get_dataset_configs(dataset_names)
-    for method_name in methods:
-        method_config = get_method_config(method_name)
-        bundle = R.MethodBundle(method_name, method_config)
-        for eval_config in eval_configs:
-            datasets = R.get_datasets(dataset_configs,
-                                      eval_config.get("dataset_kwargs", {}))
-            eval_infer_all = eval_config.get("eval_infer_all", False)
+    # one bundle per method across ALL configs (params load once), and one
+    # dataset assembly per eval config (memmap opens + window tables are
+    # host work on a 1-core machine) — the same hoisting the CLI does
+    bundles = {m: R.MethodBundle(m, get_method_config(m)) for m in methods}
+    for eval_config in eval_configs:
+        if eval_config.get("color", False):
+            # the CLI routes color configs through ColorRunner
+            # (eval_method_with_config batched_ok gate); not warmed here
+            print(f"  skipping {eval_config['name']}: color configs use "
+                  f"the ColorRunner path, not warmed by this tool",
+                  flush=True)
+            continue
+        datasets = R.get_datasets(dataset_configs,
+                                  eval_config.get("dataset_kwargs", {}))
+        eval_infer_all = eval_config.get("eval_infer_all", False)
+        # replicate the CLI's batched gate exactly (runner.py
+        # eval_method_with_config): EVREAL_BATCHED=0 means per-sequence
+        # MethodRunner programs, not lockstep groups
+        batched_ok = os.environ.get("EVREAL_BATCHED", "1") != "0"
+        for method_name in methods:
+            method_config = get_method_config(method_name)
+            bundle = bundles[method_name]
             for dataset in datasets:
                 # same-resolution grouping, exactly as
                 # eval_method_with_config does
                 from collections import OrderedDict
 
-                by_res = OrderedDict()
-                for sequence in dataset["sequences"]:
-                    k = tuple(sequence["dataset"].sensor_resolution)
-                    by_res.setdefault(k, []).append(sequence)
-                groups = R.split_groups(list(by_res.values()),
-                                        R.DEFAULT_BATCH_N)
+                if batched_ok:
+                    by_res = OrderedDict()
+                    for sequence in dataset["sequences"]:
+                        k = tuple(sequence["dataset"].sensor_resolution)
+                        by_res.setdefault(k, []).append(sequence)
+                    groups = R.split_groups(list(by_res.values()),
+                                            R.DEFAULT_BATCH_N)
+                else:
+                    groups = [[s] for s in dataset["sequences"]]
                 for group in groups:
                     seqs = [s["dataset"] for s in group]
                     resolution = seqs[0].sensor_resolution
@@ -168,10 +193,19 @@ def warm_cli(methods, config_names, dataset_names, seen, results):
 def warm_bench(seen, results):
     """bench.py's serving programs: lockstep b16 chunk_t=32 @ ECD scale on
     the compact4 wire (headline) + the f32 wire (diag leg), in f32 and the
-    bf16 serving mode, with bench's own opt-ins (scan unroll 4, upfuse)."""
-    os.environ.setdefault("EVREAL_UPFUSE", "1")
+    bf16 serving mode, with bench's own opt-ins (scan unroll 4, upfuse).
+
+    The opt-ins are bench-only: every mutated setting is restored on exit
+    so a combined `--bench -d ...` invocation does not warm the CLI matrix
+    at the wrong cache keys (the CLI runs unroll=1/upfuse=0 defaults —
+    and single-seq FireNet+ at unroll=4 is the known XLA-stall shape,
+    CLAUDE.md); main() additionally orders warm_cli() first."""
     from evreal_tpu.harness import runner as runner_mod
 
+    prev_upfuse = os.environ.get("EVREAL_UPFUSE")
+    prev_dtype = os.environ.get("EVREAL_DTYPE")
+    prev_unroll = runner_mod.SCAN_UNROLL
+    os.environ.setdefault("EVREAL_UPFUSE", "1")
     runner_mod.SCAN_UNROLL = int(os.environ.get("EVREAL_SCAN_UNROLL", "4"))
     from evreal_tpu.harness.batched import BatchedRunner
     from evreal_tpu.models import build_flagship_e2vid
@@ -186,10 +220,12 @@ def warm_bench(seen, results):
     f32 = _bufs_sds((b, t), cap, {"xs": np.int16, "ys": np.int16,
                                   "ts": np.float32, "ps": np.int8,
                                   "count": np.int32})
-    for dtype in (None, "bfloat16"):
-        if dtype:
-            os.environ["EVREAL_DTYPE"] = dtype
-        try:
+    try:
+        for dtype in (None, "bfloat16"):
+            if dtype:
+                os.environ["EVREAL_DTYPE"] = dtype
+            else:
+                os.environ.pop("EVREAL_DTYPE", None)
             runner = BatchedRunner(model, params, event_norm=True,
                                    post_norm="robust", height=h, width=w,
                                    num_bins=5, n=b, chunk_t=t)
@@ -200,8 +236,14 @@ def warm_bench(seen, results):
                              f"{wire_name}-wire",
                              f"bench-{dtype or 'f32'}", runner, bufs,
                              seen, results)
-        finally:
-            os.environ.pop("EVREAL_DTYPE", None)
+    finally:
+        runner_mod.SCAN_UNROLL = prev_unroll
+        for key, prev in (("EVREAL_DTYPE", prev_dtype),
+                          ("EVREAL_UPFUSE", prev_upfuse)):
+            if prev is None:
+                os.environ.pop(key, None)
+            else:
+                os.environ[key] = prev
 
 
 def main():
@@ -237,10 +279,12 @@ def main():
 
     seen, results = set(), []
     t0 = time.perf_counter()
-    if args.bench:
-        warm_bench(seen, results)
+    # CLI matrix first: warm_bench temporarily flips bench-only settings
+    # (unroll/upfuse/dtype) and must not influence the CLI signatures
     if args.datasets:
         warm_cli(args.methods, args.configs, args.datasets, seen, results)
+    if args.bench:
+        warm_bench(seen, results)
     print(json.dumps({"programs": results,
                       "total_wall_s": round(time.perf_counter() - t0, 1),
                       "cache_dir": cache_dir(),
