@@ -45,6 +45,14 @@ def main():
     ap.add_argument("--windows", type=int, default=96)
     ap.add_argument("--warmup", type=int, default=8)
     ap.add_argument("--probes", action="store_true", default=True)
+    ap.add_argument("--group", type=int, default=0,
+                    help="also measure the lockstep-group throughput mode "
+                         "(open_group(N)/push_group — one batched dispatch "
+                         "advances N synchronized streams): per-tick wall "
+                         "-> per-stream latency + aggregate fps. Unlike "
+                         "the single-stream rows this mode is largely "
+                         "insensitive to the chip's dispatch-latency axis "
+                         "(BASELINE.md roofline note)")
     args = ap.parse_args()
 
     from bench import op_latency_probe
@@ -85,6 +93,33 @@ def main():
             row = {"method": method, "error": str(exc)[:200]}
         rows.append(row)
         print(json.dumps(row), flush=True)
+
+        if args.group and "error" not in row:
+            try:
+                gid = engine.open_group(args.group, H, W)
+                glat = []
+                for i in range(args.warmup + args.windows):
+                    w8 = [windows[(i + j) % len(windows)]
+                          for j in range(args.group)]
+                    t0 = time.perf_counter()
+                    engine.push_group(gid, w8)
+                    dt = time.perf_counter() - t0
+                    if i >= args.warmup:
+                        glat.append(dt * 1e3)
+                engine.close_group(gid)
+                glat = np.asarray(glat)
+                p50 = float(np.percentile(glat, 50))
+                grow = {"method": method, "group_n": args.group,
+                        "tick_p50_ms": round(p50, 2),
+                        "tick_p99_ms": round(
+                            float(np.percentile(glat, 99)), 2),
+                        "aggregate_fps": round(args.group / (p50 / 1e3), 1),
+                        "windows": int(glat.size)}
+            except Exception as exc:  # noqa: BLE001
+                grow = {"method": method, "group_n": args.group,
+                        "error": str(exc)[:200]}
+            rows.append(grow)
+            print(json.dumps(grow), flush=True)
 
     probe_after = op_latency_probe()
     print(f"op-latency probe after: {probe_after:.1f} us/iter", flush=True)
