@@ -123,9 +123,15 @@ def main():
 
     probe_after = op_latency_probe()
     print(f"op-latency probe after: {probe_after:.1f} us/iter", flush=True)
+    from bench import host_load_probe
+
+    # host state too: dispatch shares the single host core, and the r05
+    # capture showed the op-latency probe alone decorrelating 20-50x from
+    # measured serve latency across two same-probe-reading days
     print(json.dumps({"rows": rows,
                       "probe_op_latency_us_before": round(probe_before, 1),
-                      "probe_op_latency_us_after": round(probe_after, 1)}))
+                      "probe_op_latency_us_after": round(probe_after, 1),
+                      **host_load_probe()}))
 
 
 if __name__ == "__main__":
