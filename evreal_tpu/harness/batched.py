@@ -487,8 +487,14 @@ def eval_method_on_sequence_group(dataset_name, eval_config, method_name,
     def drain(entry):
         chunk_info, refs, images_dev, clipped_dev, scores_dev, entry_use, \
             refs_dev = entry
-        # u8 frames (quantized on device) or None when save_images is off
-        images = np.asarray(images_dev) if images_dev is not None else None
+        from evreal_tpu.utils import bounded_fetch
+
+        # u8 frames (quantized on device) or None when save_images is off.
+        # Bounded-slice fetches: a whole-chunk (lanes, T, H, W) array at
+        # high lane counts / big sensors can exceed the ~10 MB single-fetch
+        # ceiling that wedges this backend's transfer path (CLAUDE.md)
+        images = (bounded_fetch(images_dev) if images_dev is not None
+                  else None)
         scores = (fetch_scores(scores_dev, entry_use, clipped_dev, refs_dev)
                   if scores_dev else {})
         proc_imgs = None
@@ -497,7 +503,7 @@ def eval_method_on_sequence_group(dataset_name, eval_config, method_name,
             # `images` itself). Process the whole chunk and score it in ONE
             # batched device call — per-frame calls would serialize on the
             # tunnel round-trip (~100s of ms each).
-            clipped = np.asarray(clipped_dev)
+            clipped = bounded_fetch(clipped_dev)
             proc_imgs = np.zeros_like(clipped)
             proc_refs = np.zeros_like(clipped)
             for j, idxs in enumerate(chunk_info):
@@ -596,7 +602,9 @@ def eval_method_on_sequence_group(dataset_name, eval_config, method_name,
     for entry in pending:
         drain(entry)
     if max_chunks:
-        jax.block_until_ready(state)
+        # value-fetch fence, not block_until_ready: the timing boundary
+        # must be trustworthy (CLAUDE.md; runner.fence docstring)
+        fence((state,))
     timer.__exit__()
 
     results = []

@@ -928,15 +928,20 @@ def eval_method_on_sequence(dataset_name, eval_config, method_name, bundle,
                         else meta["event_count"] / meta["dt"])
                 tracker.save_custom_metric(i, "event_rate", rate)
             return
+        from evreal_tpu.utils import bounded_fetch
+
         images_dev, clipped_dev, scores_dev, refs_dev = tensors
         valid_t = len(chunk)
-        # u8 frames (quantized on device) or None when save_images is off
-        images = np.asarray(images_dev) if images_dev is not None else None
+        # u8 frames (quantized on device) or None when save_images is off;
+        # bounded-slice fetch (a single big np.asarray can wedge the
+        # backend's transfer path, CLAUDE.md)
+        images = (bounded_fetch(images_dev) if images_dev is not None
+                  else None)
         if hist_eq != "none":
             # the clipped tensor is only needed on host for hist-eq; the
             # tracker re-clips `images` itself, so the std path skips this
             # device->host transfer entirely
-            clipped_np = np.asarray(clipped_dev)[:valid_t]
+            clipped_np = bounded_fetch(clipped_dev)[:valid_t]
             proc_imgs = np.stack([histeq_mod.histogram_equalization(im,
                                                                     hist_eq)
                                   for im in clipped_np])
@@ -1045,7 +1050,9 @@ def eval_method_on_sequence(dataset_name, eval_config, method_name, bundle,
     for entry in pending:
         drain(entry)
     if proc:
-        jax.block_until_ready(state)
+        # value-fetch fence, not block_until_ready: the timing boundary
+        # must be trustworthy (CLAUDE.md; fence docstring above)
+        fence((state,))
     timer.__exit__()
 
     tracker.finalize(proc[-1] if proc else 0, dropped=dropped)

@@ -128,15 +128,12 @@ def _pack_window(xs, ys, ts, ps, capacity=None, float_coords=False,
 
 
 def _fetch(dev):
-    """Device->host fetch of an (..., H, W) frame array in slices of at
-    most ``_FETCH_BYTES`` along the leading axis (see _FETCH_BYTES).
-    Returns a writable array: ``np.asarray`` of a jax array is a
-    read-only view, and callers reasonably draw overlays in place."""
-    if dev.ndim == 2 or dev.nbytes <= _FETCH_BYTES:
-        return np.array(dev)
-    per = max(1, int(_FETCH_BYTES // max(dev.nbytes // dev.shape[0], 1)))
-    return np.concatenate([np.asarray(dev[i:i + per])
-                           for i in range(0, dev.shape[0], per)])
+    """Device->host fetch of an (..., H, W) frame array in bounded slices
+    (utils.bounded_fetch, shared with the offline drain paths). Returns a
+    writable array."""
+    from evreal_tpu.utils import bounded_fetch
+
+    return bounded_fetch(dev, _FETCH_BYTES)
 
 
 class _Stream:
@@ -444,7 +441,13 @@ class _Handler(socketserver.StreamRequestHandler):
                     _send(self.wfile, {"ok": True, "gid": gid})
                 elif op == "push_group":
                     n = int(header["n"])
+                    # per-lane presence mask: an idle (None) lane must
+                    # reach the engine as None so it is not counted as a
+                    # served frame (stats contract); older clients send
+                    # no mask = all lanes real
+                    mask = header.get("mask")
                     wins = [tuple(arrays[4 * i:4 * i + 4])
+                            if (mask is None or mask[i]) else None
                             for i in range(n)]
                     frames = engine.push_group(
                         header["gid"], wins,
@@ -480,9 +483,13 @@ class ReconServer(socketserver.ThreadingUnixStreamServer):
 
     def __init__(self, engine, path):
         if os.path.exists(path):
-            # only remove a STALE socket: silently unlinking a live one
-            # would hijack a running server's address while it keeps
-            # serving its existing connections
+            # only remove a STALE SOCKET: a regular file also fails the
+            # connect probe, and silently unlinking it would destroy a
+            # user's file; a live socket must not be hijacked either
+            import stat
+
+            if not stat.S_ISSOCK(os.stat(path).st_mode):
+                raise OSError(f"{path}: exists and is not a socket")
             probe = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
             try:
                 probe.connect(path)
@@ -541,16 +548,19 @@ class ReconClient:
 
     def push_group(self, gid, windows, u8=False):
         """``windows``: n ``(xs, ys, ts, ps)`` tuples (None = empty
-        window); returns the (n, H, W) frames."""
-        arrays = []
+        window); returns the (n, H, W) frames. None lanes travel as a
+        presence mask so the server's served-frame stats match the
+        in-process API (idle lanes are not served frames)."""
+        arrays, mask = [], []
         for w in windows:
+            mask.append(w is not None)
             if w is None:
                 w = _empty_window()
             arrays += [np.asarray(w[0]), np.asarray(w[1]),
                        np.asarray(w[2], np.float64), np.asarray(w[3])]
         _, payload = self._call(
             {"op": "push_group", "gid": gid, "n": len(windows),
-             "u8": bool(u8)}, arrays)
+             "u8": bool(u8), "mask": mask}, arrays)
         return payload[0]
 
     def reset_group(self, gid):

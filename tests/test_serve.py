@@ -244,6 +244,11 @@ def test_socket_roundtrip(model_params, tmp_path):
         assert np.array_equal(frames, want_g)
         client.close_group(gid)
 
+        # idle lanes travel as a presence mask: the socket server's
+        # served-frame count must match the in-process engine (the idle
+        # lane is NOT a served frame — stats() docstring contract)
+        assert client.stats()["frames"] == ref_engine.stats()["frames"]
+
         # review regressions: client frames are writable (the in-process
         # API returns writable arrays; np.frombuffer over bytes is not);
         # stats has no protocol-framing keys; the frame counter is
@@ -276,3 +281,36 @@ def test_socket_roundtrip(model_params, tmp_path):
     finally:
         server.shutdown()
         server.server_close()
+
+def test_server_refuses_non_socket_path(model_params, tmp_path):
+    """A regular file at the socket path also fails the stale-socket
+    connect probe; it must be refused, never unlinked (review finding:
+    the cleanup destroyed a user's file)."""
+    model, params = model_params
+    engine = ReconEngine(model, params, event_norm=True, post_norm="robust")
+    path = tmp_path / "not_a_socket"
+    path.write_text("precious")
+    with pytest.raises(OSError, match="not a socket"):
+        ReconServer(engine, str(path))
+    assert path.read_text() == "precious"  # still there
+
+
+def test_bounded_fetch_slices_and_recurses():
+    """utils.bounded_fetch must return value-identical writable arrays for
+    every slicing regime: small (single fetch), leading-axis sliced, and
+    recursive (a single leading-axis item exceeds the budget)."""
+    from evreal_tpu.utils import bounded_fetch
+
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    for shape, max_bytes in [
+        ((3, 4), 1 << 20),          # small: one fetch
+        ((8, 64, 64), 64 * 64 * 4 * 2 + 1),   # leading-axis slices
+        ((2, 3, 128, 128), 128 * 128 * 4 * 2 + 1),  # recursive
+    ]:
+        host = rng.normal(size=shape).astype(np.float32)
+        dev = jnp.asarray(host)
+        got = bounded_fetch(dev, max_bytes)
+        assert np.array_equal(got, host), shape
+        got[(0,) * got.ndim] = 42.0  # writable
