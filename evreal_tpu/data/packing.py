@@ -141,6 +141,24 @@ def polarity_bit(ps):
     return (ps > 0).astype(np.uint32)
 
 
+def quantize_ts(ts, qmax):
+    """Window-normalized timestamp quantization shared by every narrow
+    wire (compact u16, compact4's ts-bits field, serve's streaming
+    packer): one f64 division into the scale then per-event multiply +
+    rint + clip — the exact op order the native packer implements
+    (bit-identical) — with the reference's degenerate-window linspace
+    (event_utils.py:48-49) quantized host-side. Returns f64 values in
+    [0, qmax]; the caller casts to its wire dtype."""
+    ts = np.asarray(ts, np.float64)
+    n = ts.shape[0]
+    if n == 0:
+        return np.zeros((0,), np.float64)
+    dt_w = float(ts[-1] - ts[0])
+    if dt_w < 1e-9:
+        return np.rint(np.arange(n) * (qmax / max(n - 1, 1)))
+    return np.clip(np.rint((ts - ts[0]) * (qmax / dt_w)), 0.0, qmax)
+
+
 def encode_compact4(xs, ys, ts, ps, resolution):
     """Encode one window's events as packed uint32 (see module docstring).
 
@@ -154,20 +172,8 @@ def encode_compact4(xs, ys, ts, ps, resolution):
     ys = np.asarray(ys).astype(np.int64)
     inb = (xs >= 0) & (xs < w) & (ys >= 0) & (ys < h)
     idx = np.where(inb, ys * w + xs, h * w).astype(np.uint32)
-    n = idx.shape[0]
     qmax = float((1 << ts_bits) - 1)
-    ts = np.asarray(ts, np.float64)
-    if n:
-        dt_w = float(ts[-1] - ts[0])
-        if dt_w < 1e-9:
-            # degenerate window: the reference's linspace spread
-            # (event_utils.py:48-49), quantized host-side
-            q = np.rint(np.arange(n) * (qmax / max(n - 1, 1)))
-        else:
-            q = np.clip(np.rint((ts - ts[0]) * (qmax / dt_w)), 0.0, qmax)
-        q = q.astype(np.uint32)
-    else:
-        q = np.zeros((0,), np.uint32)
+    q = quantize_ts(ts, qmax).astype(np.uint32)
     pbit = polarity_bit(ps)
     return idx | (q << np.uint32(idx_bits)) | (pbit << np.uint32(31))
 
@@ -324,17 +330,8 @@ def pack_windows(seq, indices, capacity=None, out=None, metas=None,
             out["ys"][row, :n] = xy[:, 1]
         ets = np.asarray(seq.t[i0:i1])
         if compact_ts:
-            dt_w = float(ets[-1] - ets[0])
-            if dt_w < 1e-9:
-                # degenerate window: the reference's linspace spread
-                # (event_utils.py:48-49), quantized host-side
-                out["ts"][row, :n] = np.rint(
-                    np.arange(n) * (U16_TS_SCALE / max(n - 1, 1))
-                ).astype(np.uint16)
-            else:
-                q = np.rint((ets - ets[0]) * (U16_TS_SCALE / dt_w))
-                out["ts"][row, :n] = np.clip(q, 0.0, U16_TS_SCALE) \
-                    .astype(np.uint16)
+            out["ts"][row, :n] = quantize_ts(ets, U16_TS_SCALE) \
+                .astype(np.uint16)
         else:
             out["ts"][row, :n] = (ets - ets[0]).astype(np.float32)
         out["ps"][row, :n] = (

@@ -63,8 +63,12 @@ def _empty_window(float_coords=False):
 
 
 def _pack_window(xs, ys, ts, ps, capacity=None, float_coords=False,
-                 dtypes=None, resolution=None):
+                 dtypes=None, resolution=None, out=None):
     """One event window -> the runner's (T=1, E) packed buffers.
+
+    ``out``: optional pre-zeroed views to fill in place (the group path
+    passes per-lane views of one (N, 1, E) allocation, avoiding n per-lane
+    allocations plus a second whole-batch stack copy per push).
 
     ``ts`` may be absolute (zero-based here, float64 before the
     narrowing — same precision order as data/packing.py); ``ps`` may be
@@ -85,18 +89,22 @@ def _pack_window(xs, ys, ts, ps, capacity=None, float_coords=False,
     if "ev" in dtypes:
         from evreal_tpu.data.packing import encode_compact4
 
-        out = {"ev": np.zeros((1, cap), np.uint32),
-               "count": np.array([n], np.int32)}
+        if out is None:
+            out = {"ev": np.zeros((1, cap), np.uint32),
+                   "count": np.zeros((1,), np.int32)}
+        out["count"][0] = n
         if n:
             out["ev"][0, :n] = encode_compact4(
                 np.asarray(xs), np.asarray(ys), np.asarray(ts, np.float64),
                 np.asarray(ps), resolution)
         return out
-    out = {"xs": np.zeros((1, cap), dtypes["xs"]),
-           "ys": np.zeros((1, cap), dtypes["ys"]),
-           "ts": np.zeros((1, cap), dtypes["ts"]),
-           "ps": np.zeros((1, cap), dtypes["ps"]),
-           "count": np.array([n], np.int32)}
+    if out is None:
+        out = {"xs": np.zeros((1, cap), dtypes["xs"]),
+               "ys": np.zeros((1, cap), dtypes["ys"]),
+               "ts": np.zeros((1, cap), dtypes["ts"]),
+               "ps": np.zeros((1, cap), dtypes["ps"]),
+               "count": np.zeros((1,), np.int32)}
+    out["count"][0] = n
     if n:
         if dtypes["xs"] == np.uint8:
             # out-of-range coords park at the 255 sentinel; the device's
@@ -110,13 +118,13 @@ def _pack_window(xs, ys, ts, ps, capacity=None, float_coords=False,
             out["ys"][0, :n] = ys
         t = np.asarray(ts, np.float64)
         if dtypes["ts"] == np.uint16:
-            dt = float(t[-1] - t[0])
-            if dt < 1e-9:
-                q = np.rint(np.arange(n) * (U16_TS_SCALE / max(n - 1, 1)))
-            else:
-                q = np.clip(np.rint((t - t[0]) * (U16_TS_SCALE / dt)),
-                            0.0, U16_TS_SCALE)
-            out["ts"][0, :n] = q.astype(np.uint16)
+            # the shared quantizer: parity-critical math must have ONE
+            # implementation (data/packing.quantize_ts) or the streaming
+            # wire silently drifts from the offline one
+            from evreal_tpu.data.packing import quantize_ts
+
+            out["ts"][0, :n] = quantize_ts(t, U16_TS_SCALE) \
+                .astype(np.uint16)
         else:
             out["ts"][0, :n] = (t - t[0]).astype(np.float32)
         from evreal_tpu.data.packing import polarity_bit
@@ -314,14 +322,18 @@ class ReconEngine:
             wins = [w if w is not None else empty for w in windows]
             cap = bucket_capacity(max((len(w[0]) for w in wins), default=0),
                                   _MIN_SERVE_CAPACITY)
-            rows = [_pack_window(*w, capacity=cap,
-                                 float_coords=g.float_coords,
-                                 dtypes=g.dtypes,
-                                 resolution=(g.runner.h, g.runner.w))
-                    for w in wins]
-            # each row is (T=1, E) / count (1,); stack to (N, T=1, E) and
-            # count (N, T=1) — the BatchedRunner's buffer contract
-            bufs = {k: np.stack([r[k] for r in rows]) for k in rows[0]}
+            # ONE zeroed (N, T=1, E) allocation, packed per lane through
+            # views — the BatchedRunner's buffer contract, without n
+            # per-lane allocations plus a whole-batch stack copy per push
+            from evreal_tpu.data.packing import alloc_buffers
+
+            bufs = alloc_buffers((g.n, 1), cap, g.dtypes)
+            for j, w in enumerate(wins):
+                _pack_window(*w, capacity=cap,
+                             float_coords=g.float_coords,
+                             dtypes=g.dtypes,
+                             resolution=(g.runner.h, g.runner.w),
+                             out={k: v[j] for k, v in bufs.items()})
             state, _, clipped = g.runner.run(g.state, bufs)
             g.state = state
             served = sum(1 for w in windows if w is not None)
