@@ -492,9 +492,12 @@ def eval_method_on_sequence_group(dataset_name, eval_config, method_name,
         # u8 frames (quantized on device) or None when save_images is off.
         # Bounded-slice fetches: a whole-chunk (lanes, T, H, W) array at
         # high lane counts / big sensors can exceed the ~10 MB single-fetch
-        # ceiling that wedges this backend's transfer path (CLAUDE.md)
-        images = (bounded_fetch(images_dev) if images_dev is not None
-                  else None)
+        # ceiling that wedges this backend's transfer path (CLAUDE.md).
+        # Sliced to the real lanes ON DEVICE first: mesh padding lanes
+        # (n_pad > n) are dead D2H bytes whose outputs are never read.
+        n_real = len(chunk_info)
+        images = (bounded_fetch(images_dev[:n_real])
+                  if images_dev is not None else None)
         scores = (fetch_scores(scores_dev, entry_use, clipped_dev, refs_dev)
                   if scores_dev else {})
         proc_imgs = None
@@ -502,8 +505,10 @@ def eval_method_on_sequence_group(dataset_name, eval_config, method_name,
             # clipped only comes to host for hist-eq (tracker re-clips
             # `images` itself). Process the whole chunk and score it in ONE
             # batched device call — per-frame calls would serialize on the
-            # tunnel round-trip (~100s of ms each).
-            clipped = bounded_fetch(clipped_dev)
+            # tunnel round-trip (~100s of ms each). Real lanes only: the
+            # per-run lane count is constant, so the metric program's
+            # (n_real, T) signature still compiles exactly once.
+            clipped = bounded_fetch(clipped_dev[:n_real])
             proc_imgs = np.zeros_like(clipped)
             proc_refs = np.zeros_like(clipped)
             for j, idxs in enumerate(chunk_info):

@@ -424,12 +424,20 @@ def gate_windows(metas, start, end, eval_infer_all):
 
 
 def fence(tree):
-    """Synchronize every array in the tree by *value fetch* —
+    """Synchronize every device array in the tree by *value fetch* —
     ``block_until_ready`` has been observed returning early on the axon TPU
     backend (CLAUDE.md 'Environment gotchas'); a host fetch is always
-    trustworthy. Used to place timing boundaries."""
+    trustworthy. Used to place timing boundaries.
+
+    The fetch is a SCALAR reduction per leaf, never the leaf itself: a
+    whole-leaf fetch is unbounded D2H (a b16 ConvLSTM state leaf at
+    480x640 is ~1.2 GB — the single-fetch wedge class, CLAUDE.md) and
+    would bill the transfer to the surrounding DeviceTimer window. The
+    tiny reduction dispatch is negligible at a chunk boundary, and
+    fetching its value forces the leaf's producing computation."""
     for leaf in jax.tree_util.tree_leaves(tree):
-        np.asarray(leaf)
+        if isinstance(leaf, jax.Array):
+            np.asarray(jnp.sum(leaf) if leaf.ndim else leaf)
 
 
 def make_metric_containment(runner, scope):
@@ -934,14 +942,16 @@ def eval_method_on_sequence(dataset_name, eval_config, method_name, bundle,
         valid_t = len(chunk)
         # u8 frames (quantized on device) or None when save_images is off;
         # bounded-slice fetch (a single big np.asarray can wedge the
-        # backend's transfer path, CLAUDE.md)
-        images = (bounded_fetch(images_dev) if images_dev is not None
-                  else None)
+        # backend's transfer path, CLAUDE.md), sliced to the valid rows ON
+        # DEVICE first — a ragged final chunk's padding frames are pure
+        # dead D2H bytes on the ~45 MB/s tunnel
+        images = (bounded_fetch(images_dev[:valid_t])
+                  if images_dev is not None else None)
         if hist_eq != "none":
             # the clipped tensor is only needed on host for hist-eq; the
             # tracker re-clips `images` itself, so the std path skips this
             # device->host transfer entirely
-            clipped_np = bounded_fetch(clipped_dev)[:valid_t]
+            clipped_np = bounded_fetch(clipped_dev[:valid_t])
             proc_imgs = np.stack([histeq_mod.histogram_equalization(im,
                                                                     hist_eq)
                                   for im in clipped_np])

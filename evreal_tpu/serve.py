@@ -48,12 +48,9 @@ from evreal_tpu.data.packing import (
     wire_format,
 )
 
+from evreal_tpu.utils import FETCH_BYTES as _FETCH_BYTES  # D2H ceiling
+
 _MIN_SERVE_CAPACITY = _MIN_PACK_CAPACITY
-# per-fetch ceiling for device->host frame transfers: large single
-# np.asarray fetches have been observed crawling and wedging the tunnel's
-# transfer path (CLAUDE.md: ~10 MB per-chunk fetches are the practical
-# ceiling; a 256 MB fetch wedged the backend for ~15 min)
-_FETCH_BYTES = 8 * 1024 * 1024
 
 
 def _empty_window(float_coords=False):
@@ -66,9 +63,11 @@ def _pack_window(xs, ys, ts, ps, capacity=None, float_coords=False,
                  dtypes=None, resolution=None, out=None):
     """One event window -> the runner's (T=1, E) packed buffers.
 
-    ``out``: optional pre-zeroed views to fill in place (the group path
-    passes per-lane views of one (N, 1, E) allocation, avoiding n per-lane
-    allocations plus a second whole-batch stack copy per push).
+    ``out``: optional views to fill in place (the group path passes
+    per-lane views of one pooled (N, 1, E) allocation, avoiding per-push
+    allocations and a second whole-batch stack copy). Slots beyond the
+    written ``count`` may hold stale events from a previous push — the
+    voxelizers are count-masked (tests/test_voxelize.py poison-tail).
 
     ``ts`` may be absolute (zero-based here, float64 before the
     narrowing — same precision order as data/packing.py); ``ps`` may be
@@ -156,7 +155,8 @@ class _Stream:
 
 
 class _Group:
-    __slots__ = ("runner", "state", "n", "frames", "float_coords", "dtypes")
+    __slots__ = ("runner", "state", "n", "frames", "float_coords", "dtypes",
+                 "buf_pool")
 
     def __init__(self, runner, n, float_coords, dtypes):
         self.runner = runner
@@ -165,6 +165,11 @@ class _Group:
         self.frames = 0
         self.float_coords = float_coords
         self.dtypes = dtypes
+        # per-capacity reused (N, 1, E) buffer sets: fresh np.zeros costs
+        # a page fault per touched page per push on this 1-core host.
+        # Stale tails beyond count are harmless — the voxelizers are
+        # count-masked (tests/test_voxelize.py poison-tail test)
+        self.buf_pool = {}
 
 
 class ReconEngine:
@@ -322,12 +327,16 @@ class ReconEngine:
             wins = [w if w is not None else empty for w in windows]
             cap = bucket_capacity(max((len(w[0]) for w in wins), default=0),
                                   _MIN_SERVE_CAPACITY)
-            # ONE zeroed (N, T=1, E) allocation, packed per lane through
-            # views — the BatchedRunner's buffer contract, without n
-            # per-lane allocations plus a whole-batch stack copy per push
-            from evreal_tpu.data.packing import alloc_buffers
+            # ONE pooled (N, T=1, E) allocation per capacity bucket,
+            # packed per lane through views — the BatchedRunner's buffer
+            # contract, without per-push allocations or a whole-batch
+            # stack copy (_Group.buf_pool comment)
+            bufs = g.buf_pool.get(cap)
+            if bufs is None:
+                from evreal_tpu.data.packing import alloc_buffers
 
-            bufs = alloc_buffers((g.n, 1), cap, g.dtypes)
+                bufs = g.buf_pool[cap] = alloc_buffers((g.n, 1), cap,
+                                                       g.dtypes)
             for j, w in enumerate(wins):
                 _pack_window(*w, capacity=cap,
                              float_coords=g.float_coords,
