@@ -227,12 +227,19 @@ class Sequence:
         return self._windows
 
     def events(self, idx0, idx1):
-        """Raw event slice: xs, ys f32; ts f64 zero-based-later; ps in ±1."""
+        """Raw event slice: xs, ys f32; ts f64 zero-based-later; ps in ±1.
+
+        Polarity maps through the same sign-aware rule as the production
+        wires (packing.polarity_bit: LSB for unsigned on-disk {0,1}/{0,255},
+        sign for already-±1 input) — a bare ``p*2-1`` would disagree with
+        what the device pipeline voxelizes for signed or {0,255} data."""
+        from evreal_tpu.data.packing import polarity_bit
+
         xy = self.xy[idx0:idx1]
         xs = xy[:, 0].astype(np.float32)
         ys = xy[:, 1].astype(np.float32)
         ts = np.asarray(self.t[idx0:idx1])
-        ps = self.p[idx0:idx1].astype(np.float32) * 2.0 - 1.0
+        ps = polarity_bit(self.p[idx0:idx1]).astype(np.float32) * 2.0 - 1.0
         return xs, ys, ts, ps
 
     def frame(self, index):

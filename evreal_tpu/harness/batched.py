@@ -312,7 +312,9 @@ def eval_method_on_sequence_group(dataset_name, eval_config, method_name,
         make_tracker,
         sequence_output_dir,
     )
-    from evreal_tpu.metrics.tracker import resume_enabled, resume_settings
+    from evreal_tpu.metrics.tracker import (resume_enabled,
+                                            resume_settings,
+                                            sequence_settings)
 
     settings = resume_settings(eval_config)
     if resume_enabled():
@@ -321,7 +323,7 @@ def eval_method_on_sequence_group(dataset_name, eval_config, method_name,
             output_dir = sequence_output_dir(eval_config, dataset_name,
                                              s["name"], method_name)
             done = check_resume(output_dir, seq, known, no_ref_names,
-                                settings)
+                                sequence_settings(settings, s))
             if done is not None:
                 print(f"Skipping finished {output_dir} (EVREAL_RESUME)")
                 finished[i] = done

@@ -36,7 +36,8 @@ from evreal_tpu.harness.config import (
 from evreal_tpu.harness.tables import color_error, color_progress, print_scores
 from evreal_tpu.harness.timers import DeviceTimer
 from evreal_tpu.metrics import registry as metric_registry
-from evreal_tpu.metrics.tracker import EvalMetricsTracker, MetricTracker
+from evreal_tpu.metrics.tracker import (EvalMetricsTracker, MetricTracker,
+                                        sequence_settings)
 from evreal_tpu.models import build_from_meta
 from evreal_tpu.ops.normalize import normalize_event_tensor, post_process_normalization
 from evreal_tpu.ops.pad import CropParams
@@ -405,7 +406,8 @@ def make_tracker(output_dir, eval_config, sequence, seq, known,
         quan_eval_end_time=sequence["end_time_s"],
         quan_eval_ts_tol_ms=eval_config["ts_tol_ms"],
         has_reference_frames=seq.has_images, color=color,
-        no_ref_metric_names=no_ref_names, run_settings=settings)
+        no_ref_metric_names=no_ref_names,
+        run_settings=sequence_settings(settings, sequence))
 
 
 def gate_windows(metas, start, end, eval_infer_all):
@@ -798,7 +800,8 @@ def eval_method_on_sequence(dataset_name, eval_config, method_name, bundle,
 
     settings = resume_settings(eval_config)
     if resume_enabled():
-        done = check_resume(output_dir, seq, known, no_ref_names, settings)
+        done = check_resume(output_dir, seq, known, no_ref_names,
+                            sequence_settings(settings, sequence))
         if done is not None:
             print(f"Skipping finished {output_dir} (EVREAL_RESUME)")
             return done
@@ -1132,6 +1135,21 @@ class MethodBundle:
 # top-level loops (reference eval.py:333-455)
 # ---------------------------------------------------------------------------
 
+def accumulate_mean_scores(dataset_metrics, results):
+    """Fold per-sequence ``(num_evaluated, mean_scores)`` into the dataset
+    tracker, skipping the tracker's -1 no-result sentinel (metric dropped
+    by containment, or zero finite scores). Deliberate divergence: the
+    reference blends -1 into the dataset average with positive weight
+    (eval.py:259-266 combined with the -1 of eval_metrics.py:66-70),
+    silently corrupting the printed table whenever one sequence records no
+    scores for a metric."""
+    for num_eval, mean_scores in results:
+        for metric_name, score in mean_scores.items():
+            if score == -1:
+                continue
+            dataset_metrics.update(metric_name, score, num_eval)
+
+
 def eval_method_with_config(eval_config, method_name, datasets, metrics):
     num_sequences = sum(len(d["sequences"]) for d in datasets)
     method_config = get_method_config(method_name)
@@ -1185,9 +1203,7 @@ def eval_method_with_config(eval_config, method_name, datasets, metrics):
                     results = [eval_method_on_sequence(
                         dataset["name"], eval_config, method_name, bundle,
                         method_config, group[0], metrics)]
-                for num_eval, mean_scores in results:
-                    for metric_name, score in mean_scores.items():
-                        dataset_metrics.update(metric_name, score, num_eval)
+                accumulate_mean_scores(dataset_metrics, results)
         except Exception as e:  # noqa: BLE001 — containment, eval.py:369-375
             print(color_error(f"Exception while evaluating method "
                               f"{method_name} on {dataset['name']} dataset:"))

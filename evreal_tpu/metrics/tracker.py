@@ -45,6 +45,17 @@ def resume_settings(eval_config):
             "ts_tol_ms": eval_config.get("ts_tol_ms", float("inf"))}
 
 
+def sequence_settings(settings, sequence):
+    """Per-sequence completion-guard settings: the quantitative-eval time
+    window is as score-affecting as ts_tol_ms but lives on the SEQUENCE
+    (dataset-config cut or data-derived defaults), not the eval config —
+    without it a rerun after editing start_time_s/end_time_s would reuse
+    scores computed under the old cut."""
+    return {**settings,
+            "start_time_s": sequence.get("start_time_s"),
+            "end_time_s": sequence.get("end_time_s")}
+
+
 def load_completed(output_dir, expected_metrics, settings=None):
     """(num_evaluated, mean_scores) from a prior finished run covering
     ``expected_metrics`` under the same output-affecting ``settings``,

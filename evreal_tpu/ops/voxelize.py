@@ -36,8 +36,11 @@ import jax.numpy as jnp
 # degenerate dt < 1e-9 linspace already encoded host-side. Worst-case t_norm
 # error is 0.5 / 65535 * (num_bins - 1) ~ 3.1e-5 bins (error bound measured
 # end-to-end in tests/test_wire_compact.py) — far inside the 1e-3 parity
-# budget — for 2 bytes/event on the wire instead of 4.
-U16_TS_SCALE = 65535.0
+# budget — for 2 bytes/event on the wire instead of 4. The scale is imported
+# from the encoder's module: the host quantizer (packing.quantize_ts) and
+# this device dequantizer are two halves of one wire contract and must agree
+# exactly.
+from evreal_tpu.data.packing import U16_TS_SCALE  # noqa: E402
 
 
 def decode_compact4(ev, sensor_size):

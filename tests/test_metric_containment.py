@@ -215,3 +215,20 @@ def test_mid_sequence_drop_excluded_from_mean_table(tmp_path):
     means = t.get_mean_scores()
     assert means["mse"] == pytest.approx(0.5)
     assert means["flaky"] == -1  # partial mean suppressed
+
+
+def test_no_result_sentinel_not_aggregated():
+    """A sequence whose metric recorded no scores (drop/containment)
+    reports the -1 sentinel; folding that into the dataset average with
+    positive weight would corrupt the printed table (the reference does,
+    eval.py:259-266 — deliberate divergence, accumulate_mean_scores)."""
+    from evreal_tpu.harness.runner import accumulate_mean_scores
+    from evreal_tpu.metrics.tracker import MetricTracker
+
+    mt = MetricTracker()
+    accumulate_mean_scores(mt, [(100, {"lpips": 0.3, "mse": 0.1}),
+                                (100, {"lpips": -1, "mse": 0.2})])
+    assert mt.get_average("lpips") == pytest.approx(0.3)
+    assert mt.get_count("lpips") == 100  # only the sequence that scored
+    assert mt.get_average("mse") == pytest.approx(0.15)
+    assert mt.get_count("mse") == 200

@@ -152,3 +152,28 @@ def test_changed_settings_invalidate_resume(seq_dirs, tmp_path, monkeypatch,
     eval_method_on_sequence("SYNS", cfg_on, "FireNet+", bundle,
                             METHOD_CONFIG, seq, ["mse"])
     assert "Skipping finished" in capsys.readouterr().out
+
+
+def test_changed_eval_window_invalidates_resume(seq_dirs, tmp_path,
+                                                monkeypatch, capsys):
+    """The quantitative-eval time window is as score-affecting as
+    ts_tol_ms but lives on the sequence (dataset config), not the eval
+    config — editing start/end_time_s must re-run, not reuse stale scores
+    (review finding: it silently skipped)."""
+    monkeypatch.chdir(tmp_path)
+    bundle = FakeBundle("FireNet+")
+    seq = _sequences(seq_dirs)[0]
+    eval_method_on_sequence("SYNW", EVAL_CONFIG, "FireNet+", bundle,
+                            METHOD_CONFIG, seq, ["mse"])
+    monkeypatch.setenv("EVREAL_RESUME", "1")
+    cut = dict(seq, start_time_s=seq["start_time_s"] + 0.1)
+    capsys.readouterr()
+    n_cut, _ = eval_method_on_sequence("SYNW", EVAL_CONFIG, "FireNet+",
+                                       bundle, METHOD_CONFIG, cut, ["mse"])
+    assert "Skipping finished" not in capsys.readouterr().out
+    # same window again: now it does skip, reusing the cut-window record
+    capsys.readouterr()
+    n_again, _ = eval_method_on_sequence("SYNW", EVAL_CONFIG, "FireNet+",
+                                        bundle, METHOD_CONFIG, cut, ["mse"])
+    assert "Skipping finished" in capsys.readouterr().out
+    assert n_again == n_cut
