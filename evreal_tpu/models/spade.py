@@ -22,6 +22,7 @@ from evreal_tpu.nn.cells import conv_lstm, conv_lstm_zero_state
 from evreal_tpu.nn.layers import (
     batch_norm,
     conv2d,
+    fused_pair_conv,
     pixel_shuffle,
     resize_nearest,
 )
@@ -53,17 +54,8 @@ def _spade(p, x, segmap):
     normalized = batch_norm(p["param_free_norm"], x)
     seg = resize_nearest(segmap, x.shape[1], x.shape[2])
     actv = jax.nn.relu(conv2d(p["mlp_shared"]["0"], seg, padding=1))
-    g, b = p["mlp_gamma"], p["mlp_beta"]
-    g_bias, b_bias = g.get("bias"), b.get("bias")
-    if (g_bias is None) == (b_bias is None):
-        fused = {"weight": jnp.concatenate([g["weight"], b["weight"]],
-                                           axis=3)}
-        if g_bias is not None:
-            fused["bias"] = jnp.concatenate([g_bias, b_bias])
-        gamma, beta = jnp.split(conv2d(fused, actv, padding=1), 2, axis=-1)
-    else:  # mismatched bias presence: keep the reference's separate convs
-        gamma = conv2d(g, actv, padding=1)
-        beta = conv2d(b, actv, padding=1)
+    gamma, beta = fused_pair_conv(p["mlp_gamma"], p["mlp_beta"], actv,
+                                  padding=1)
     return normalized * (1 + gamma) + beta
 
 

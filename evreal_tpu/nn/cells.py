@@ -8,7 +8,8 @@ matching the reference's zero-tensor initialization.
 import jax
 import jax.numpy as jnp
 
-from evreal_tpu.nn.layers import conv2d, conv_layer, residual_block
+from evreal_tpu.nn.layers import (conv2d, conv_layer,
+                                  fused_pair_conv, residual_block)
 
 
 def conv_lstm_zero_state(batch, h, w, hidden, dtype=jnp.float32):
@@ -50,18 +51,9 @@ def conv_gru(p, x, state, *, kernel_size=3):
     prev = state
     pad = kernel_size // 2
     stacked = jnp.concatenate([x, prev], axis=-1)
-    u, r = p["update_gate"], p["reset_gate"]
-    u_bias, r_bias = u.get("bias"), r.get("bias")
-    if (u_bias is None) == (r_bias is None):
-        fused = {"weight": jnp.concatenate([u["weight"], r["weight"]],
-                                           axis=3)}
-        if u_bias is not None:
-            fused["bias"] = jnp.concatenate([u_bias, r_bias])
-        update, reset = jnp.split(
-            jax.nn.sigmoid(conv2d(fused, stacked, padding=pad)), 2, axis=-1)
-    else:  # mismatched bias presence: keep the reference's separate convs
-        update = jax.nn.sigmoid(conv2d(u, stacked, padding=pad))
-        reset = jax.nn.sigmoid(conv2d(r, stacked, padding=pad))
+    u_out, r_out = fused_pair_conv(p["update_gate"], p["reset_gate"],
+                                   stacked, padding=pad)
+    update, reset = jax.nn.sigmoid(u_out), jax.nn.sigmoid(r_out)
     out = jnp.tanh(conv2d(
         p["out_gate"], jnp.concatenate([x, prev * reset], axis=-1), padding=pad))
     new = prev * (1 - update) + out * update

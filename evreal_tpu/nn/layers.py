@@ -49,11 +49,15 @@ def activation_fn(name):
 def conv2d(p, x, stride=1, padding=0, dilation=1):
     """2-D convolution. x: NHWC, p['weight']: HWIO, optional p['bias']."""
     if padding == "same":
+        # torch Conv2d(padding='same') convention: even kernels pad the
+        # extra element on the bottom/right (all current callers are odd-k,
+        # where this reduces to the symmetric (k-1)//2)
         kh, kw = p["weight"].shape[:2]
-        padding = ((kh - 1) // 2, (kw - 1) // 2)
-    if isinstance(padding, int):
-        padding = (padding, padding)
-    pad = [(padding[0], padding[0]), (padding[1], padding[1])]
+        pad = [((kh - 1) // 2, kh // 2), ((kw - 1) // 2, kw // 2)]
+    else:
+        if isinstance(padding, int):
+            padding = (padding, padding)
+        pad = [(padding[0], padding[0]), (padding[1], padding[1])]
     out = lax.conv_general_dilated(
         x, p["weight"], (stride, stride), pad,
         rhs_dilation=(dilation, dilation),
@@ -183,11 +187,34 @@ def resize_bilinear(x, out_h, out_w):
 
 
 def resize_nearest(x, out_h, out_w):
-    """torch F.interpolate(mode='nearest'): src = floor(dst * in/out)."""
+    """torch F.interpolate(mode='nearest'): src = floor(dst * in/out).
+    Identity sizes return x directly (value-identical; torch too) — SPADE's
+    full-res block otherwise pays two dead full-tensor gathers per frame in
+    the op-dispatch-bound batch-1 regime."""
     h, w = x.shape[1], x.shape[2]
+    if (out_h, out_w) == (h, w):
+        return x
     rows = jnp.floor(jnp.arange(out_h) * (h / out_h)).astype(jnp.int32)
     cols = jnp.floor(jnp.arange(out_w) * (w / out_w)).astype(jnp.int32)
     return x[:, rows][:, :, cols]
+
+
+def fused_pair_conv(pa, pb, x, *, padding):
+    """Two same-shaped convs reading the SAME input, fused into one conv
+    by concatenating kernels along the output axis — channelwise-identical
+    math, one dispatch instead of two (the ConvGRU-gate / SPADE-gamma-beta
+    lever, BASELINE.md). Returns the two output halves. Falls back to the
+    separate convs when bias presence mismatches (a fused bias cannot
+    represent half-biased output channels)."""
+    a_bias, b_bias = pa.get("bias"), pb.get("bias")
+    if (a_bias is None) == (b_bias is None):
+        fused = {"weight": jnp.concatenate([pa["weight"], pb["weight"]],
+                                           axis=3)}
+        if a_bias is not None:
+            fused["bias"] = jnp.concatenate([a_bias, b_bias])
+        return tuple(jnp.split(conv2d(fused, x, padding=padding), 2,
+                               axis=-1))
+    return conv2d(pa, x, padding=padding), conv2d(pb, x, padding=padding)
 
 
 def pixel_shuffle(x, r):
@@ -306,11 +333,14 @@ def _s2d_max_in():
 
 
 def _s2d_applicable(p, x, stride, padding):
+    # _s2d_max_in() first: a malformed EVREAL_S2D must fail loudly even
+    # when no k5/pad-2 layer is ever hit (same rule as EVREAL_UPFUSE)
+    max_in = _s2d_max_in()
     w = p["weight"]
     return (stride == 1 and padding in (2, (2, 2))
             and w.shape[0] == 5 and w.shape[1] == 5
             and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
-            and w.shape[2] <= _s2d_max_in())
+            and w.shape[2] <= max_in)
 
 
 # ---------------------------------------------------------------------------
@@ -487,7 +517,14 @@ def residual_block(p, x, *, norm=None):
         out = batch_norm(p["bn2"], out)
     elif norm == "IN":
         out = instance_norm(out)
+    # the reference class accepts stride/downsample, but no call site in
+    # the reference ever passes either (model.py:160, legacy.py:70,
+    # spade_e2v.py:125, submodules.py:301, unet.py:52 — all defaults); a
+    # half-supported branch here would silently diverge from the cited
+    # semantics, so an unexpected subtree fails loudly instead
     if "downsample" in p:
-        residual = conv2d(p["downsample"], x)
+        raise NotImplementedError(
+            "ResidualBlock.downsample: no reference configuration "
+            "constructs one (submodules.py:152-184 call sites)")
     out = out + residual
     return jax.nn.relu(out)
