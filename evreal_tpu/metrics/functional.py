@@ -22,18 +22,14 @@ def mse(img, ref):
     return jnp.mean(d * d)
 
 
+@functools.lru_cache(maxsize=None)
 def _gaussian_kernel(sigma=1.5, truncate=3.5):
+    # numpy (not jnp) so the cache never captures a tracer; jit treats the
+    # kernel as a compile-time constant.
     radius = int(truncate * sigma + 0.5)
     x = np.arange(-radius, radius + 1)
     k = np.exp(-0.5 * (x / sigma) ** 2)
     return (k / k.sum()).astype(np.float32), radius
-
-
-@functools.lru_cache(maxsize=None)
-def _kernel_arrays(sigma, truncate):
-    # numpy (not jnp) so the cache never captures a tracer; jit treats the
-    # kernel as a compile-time constant.
-    return _gaussian_kernel(sigma, truncate)
 
 
 def _filter2d(x, k, radius):
@@ -49,7 +45,14 @@ def _filter2d(x, k, radius):
 
 def ssim(img, ref, data_range=1.0, sigma=1.5, truncate=3.5, k1=0.01, k2=0.03):
     """SSIM of two 2-D images, skimage-exact for the reference config."""
-    k, radius = _kernel_arrays(sigma, truncate)
+    k, radius = _gaussian_kernel(sigma, truncate)
+    if min(img.shape[-2:]) <= 2 * radius:
+        # skimage raises here ('win_size exceeds image extent'); an empty
+        # crop slice would otherwise return a silent NaN that flows into
+        # the dataset means
+        raise ValueError(
+            f"ssim: image extent {tuple(img.shape[-2:])} too small for the "
+            f"{2 * radius + 1}-px window (needs > {2 * radius} per side)")
     x = img.astype(jnp.float32)
     y = ref.astype(jnp.float32)
     f = lambda a: _filter2d(a, k, radius)

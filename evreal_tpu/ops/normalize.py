@@ -19,14 +19,26 @@ def normalize_event_tensor(voxel):
     safe = jnp.maximum(num, 1)
     mean = jnp.sum(voxel) / safe
     var = jnp.sum(voxel * voxel) / safe - mean * mean
-    std = jnp.maximum(jnp.sqrt(var), jnp.asarray(1e-6, voxel.dtype))
+    # E[x^2] - mean^2 can round a hair negative in f32 (e.g. all-equal
+    # nonzero entries from a constant-polarity sparse window), and
+    # sqrt(negative) -> NaN propagates through maximum() and poisons the
+    # whole recurrent reconstruction. Clamp at 0: behavior changes only
+    # where the reference itself emits NaN (torch NaNs on the same input
+    # — deliberate strictly-better divergence).
+    std = jnp.maximum(jnp.sqrt(jnp.maximum(var, 0.0)),
+                      jnp.asarray(1e-6, voxel.dtype))
     out = jnp.where(nonzero, (voxel - mean) / std, 0.0)
     return jnp.where(num > 0, out, voxel)
 
 
 def robust_normalize(img, q_min, q_max):
     flat = img.ravel()
-    if os.environ.get("EVREAL_PCT", "bits") == "sort":
+    pct = os.environ.get("EVREAL_PCT", "bits")
+    if pct not in ("bits", "sort"):
+        # loud validation, like every other EVREAL_* knob: a typo silently
+        # selecting the default would corrupt an A/B conclusion
+        raise ValueError(f"EVREAL_PCT={pct!r}: expected bits|sort")
+    if pct == "sort":
         # reference-shaped lowering (full per-frame lax.sort) — kept as an
         # A/B control; same order stats as the default, lerp differs only
         # by XLA FMA contraction (~1 ulp)

@@ -109,6 +109,11 @@ def percentiles(x, qs):
     of jnp.percentile, whose executed weights themselves wobble 1-2 ulps
     under XLA's divide->reciprocal rewrite (module docstring). Returns a
     (len(qs),) f32 array."""
+    if x.ndim != 1:
+        # validate on EVERY path: the min/max shortcut would otherwise
+        # silently use n = shape[0] (H, not H*W) while the bisection path
+        # raises — same input, path-dependent behavior
+        raise ValueError(f"percentiles expects flat input, got {x.shape}")
     n = x.shape[0]
     plans = [_rank_weights(q, n) for q in qs]
     if all(lw == 1.0 and k0 == k1 and k0 in (0, n - 1)

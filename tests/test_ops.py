@@ -151,3 +151,57 @@ def test_upsample2x_bilinear_matches_torch_and_general_path():
         np.testing.assert_allclose(
             np.asarray(resize_bilinear(x, 2 * h, 2 * w)), general,
             atol=1e-6, rtol=0)
+
+
+def test_normalize_event_tensor_equal_values_no_nan():
+    """All-equal nonzero entries (constant-polarity sparse window) make
+    E[x^2]-mean^2 round a hair negative in f32; sqrt(negative) NaN'd the
+    whole voxel (review finding, reproduced — the torch reference NaNs on
+    the same input; clamping at 0 is a documented strictly-better
+    divergence)."""
+    import jax.numpy as jnp
+
+    from evreal_tpu.ops.normalize import normalize_event_tensor
+
+    v = np.zeros((1, 8, 8, 5), np.float32)
+    v[0, ::2, ::2, 1] = 0.7  # equal nonzero entries
+    out = np.asarray(normalize_event_tensor(jnp.asarray(v)))
+    assert np.isfinite(out).all()
+    # zero entries stay zero; the equal entries normalize to ~0/std-floor
+    assert (out[v == 0] == 0).all()
+
+
+def test_robust_normalize_validates_pct_knob(monkeypatch):
+    """A typo'd EVREAL_PCT must fail loudly, not silently select the
+    default path (it would corrupt an A/B conclusion)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from evreal_tpu.ops.normalize import robust_normalize
+
+    monkeypatch.setenv("EVREAL_PCT", "sorted")
+    with pytest.raises(ValueError, match="EVREAL_PCT"):
+        robust_normalize(jnp.ones((4, 4)), 1, 99)
+
+
+def test_ssim_small_image_raises():
+    """skimage raises for images smaller than the 11-px window; a silent
+    NaN would flow into the dataset means instead."""
+    import pytest
+
+    from evreal_tpu.metrics.functional import ssim
+
+    with pytest.raises(ValueError, match="too small"):
+        ssim(np.zeros((8, 64), np.float32), np.zeros((8, 64), np.float32))
+
+
+def test_percentiles_rejects_non_flat_on_every_path():
+    import jax.numpy as jnp
+    import pytest
+
+    from evreal_tpu.ops.percentile import percentiles
+
+    img = jnp.ones((4, 6))
+    for qs in [(0, 100), (1, 99)]:  # min/max shortcut AND bisection path
+        with pytest.raises(ValueError, match="flat"):
+            percentiles(img, qs)
