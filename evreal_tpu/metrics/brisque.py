@@ -20,7 +20,7 @@ import os
 
 import numpy as np
 
-from evreal_tpu.metrics.niqe import estimate_aggd, estimate_ggd, mscn
+from evreal_tpu.metrics.niqe import _patch_features, mscn
 
 DEFAULT_PARAMS = os.path.join(os.path.dirname(__file__), os.pardir,
                               os.pardir, "weights", "brisque_svm.npz")
@@ -43,16 +43,15 @@ def brisque_features(img):
     feats = []
     for scale in (1, 2):
         coeff, _ = mscn(img)
-        alpha, sigma_sq = estimate_ggd(coeff.ravel())
-        feats += [alpha, sigma_sq]
-        for dy, dx in ((0, 1), (1, 0), (1, 1), (1, -1)):  # H, V, D1, D2
-            shifted = np.roll(np.roll(coeff, dy, axis=0), dx, axis=1)
-            feats += list(estimate_aggd((coeff * shifted).ravel()))
-        # truncate odd dims (e.g. BS-ERGB's 625x970 frames) so the 2x2
-        # average-pool halving below broadcasts
-        img = img[: img.shape[0] // 2 * 2, : img.shape[1] // 2 * 2]
-        img = 0.25 * (img[0::2, 0::2] + img[1::2, 0::2] + img[0::2, 1::2]
-                      + img[1::2, 1::2])
+        # GGD of MSCN + AGGD of the 4 directional products: the same
+        # 18-feature block as one whole-image NIQE "patch"
+        feats += _patch_features(coeff)
+        if scale == 1:  # downsample only between the scales
+            # truncate odd dims (e.g. BS-ERGB's 625x970 frames) so the
+            # 2x2 average-pool halving below broadcasts
+            img = img[: img.shape[0] // 2 * 2, : img.shape[1] // 2 * 2]
+            img = 0.25 * (img[0::2, 0::2] + img[1::2, 0::2]
+                          + img[0::2, 1::2] + img[1::2, 1::2])
     return np.asarray(feats, np.float64)
 
 
@@ -70,33 +69,15 @@ def brisque(img, params):
 
 
 def register_if_available():
-    """Register 'brisque' as a host-side metric when SVR params exist."""
+    """Register 'brisque' as a host-side metric when SVR params exist
+    (shared containment wrapper: registry.make_host_nr_metric)."""
     if not params_available():
         return False
-    from evreal_tpu.metrics.registry import register
+    from evreal_tpu.metrics.registry import make_host_nr_metric, register
 
     params = load_params()
-
-    warned = []
-
-    def fn(img):
-        import jax
-
-        def host(im):
-            # per-frame failures become NaN (dropped by the tracker), not a
-            # raise that would kill the metric for the sequence — see the
-            # matching comment in niqe.py (padded-tail frames can be NaN)
-            try:
-                return np.float32(brisque(np.asarray(im), params))
-            except Exception as exc:  # noqa: BLE001
-                if not warned:
-                    warned.append(True)
-                    print(f"brisque failed on a frame ({exc}); scoring NaN")
-                return np.float32("nan")
-
-        # vmap_method: the harness vmaps metric fns over the chunk
-        return jax.pure_callback(host, np.zeros((), np.float32), img,
-                                 vmap_method="sequential")
-
-    register("brisque", fn, no_ref=True)
+    register("brisque",
+             make_host_nr_metric("brisque",
+                                 lambda im: brisque(im, params)),
+             no_ref=True)
     return True

@@ -50,11 +50,9 @@ def load_weights(path=None):
 
 
 def _maxpool(x):
-    """torch MaxPool2d(kernel_size=3, stride=2) on NHWC (floor mode)."""
-    n, h, w, c = x.shape
-    oh = (h - 3) // 2 + 1
-    ow = (w - 3) // 2 + 1
-    x = x[:, : (oh - 1) * 2 + 3, : (ow - 1) * 2 + 3, :]
+    """torch MaxPool2d(kernel_size=3, stride=2) on NHWC — VALID
+    reduce_window already matches torch's floor mode exactly
+    (floor((dim - 3)/2) + 1 outputs; trailing rows/cols never read)."""
     return jax.lax.reduce_window(
         x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), "VALID")
 

@@ -19,6 +19,12 @@ registers itself only when that file exists.
 
 Feature extraction runs in numpy on host (patch statistics are tiny); inputs
 are HxW grayscale in [0, 1].
+
+Open parity question (unverifiable without pyiqa in this image): features
+here are computed on continuous ``img * 255`` floats, while the MATLAB
+pipeline consumes uint8 — whether pyiqa rounds to integers before MSCN
+decides a small systematic offset. ``tools/convert_niqe.py`` asserts
+numeric parity wherever pyiqa IS available; settle it there.
 """
 
 import os
@@ -141,14 +147,16 @@ def niqe_features(img, patch_size=96, sharpness_thresh=0.75):
             for px in range(n_pw):
                 patch = coeff[py * ps:(py + 1) * ps, px * ps:(px + 1) * ps]
                 feats_scale.append(_patch_features(patch))
-                sharp_scale.append(sigma[py * ps:(py + 1) * ps,
-                                         px * ps:(px + 1) * ps].mean())
+                if scale == 1:  # only scale-1 sharpness selects patches
+                    sharp_scale.append(sigma[py * ps:(py + 1) * ps,
+                                             px * ps:(px + 1) * ps].mean())
         feats_all.append(np.array(feats_scale))
         if scale == 1:
             sharpness = np.array(sharp_scale)
-        # 2x downsample (average pooling, as in the MATLAB imresize approx)
-        img = 0.25 * (img[0::2, 0::2] + img[1::2, 0::2] + img[0::2, 1::2]
-                      + img[1::2, 1::2])
+            # 2x downsample (average pooling, as in the MATLAB imresize
+            # approx) — only between the scales, not after the last
+            img = 0.25 * (img[0::2, 0::2] + img[1::2, 0::2]
+                          + img[0::2, 1::2] + img[1::2, 1::2])
 
     select = sharpness > sharpness_thresh * sharpness.max()
     if not np.any(select):
@@ -159,22 +167,25 @@ def niqe_features(img, patch_size=96, sharpness_thresh=0.75):
 
 def niqe(img, mu_pris, cov_pris):
     feats = niqe_features(img)
-    if feats.shape[0] < 2:
-        # Sample covariance is undefined for one selected patch (np.cov on a
-        # single row degenerates to a 0-d scalar); pyiqa's n-1 normalization
-        # yields NaN here, which the tracker's NaN filtering then drops
-        # (reference semantics, utils/eval_metrics.py:51) — match that.
+    # MATLAB/pyiqa pair nanmean with NANCOV (complete rows only): a frame
+    # with a few NaN patches is scored from its valid patches, not lost —
+    # np.cov over the full matrix would go all-NaN from one bad row
+    valid = feats[~np.isnan(feats).any(axis=1)]
+    if valid.shape[0] < 2:
+        # Sample covariance is undefined below two complete rows (np.cov on
+        # a single row degenerates to a 0-d scalar); pyiqa's n-1
+        # normalization yields NaN here, which the tracker's NaN filtering
+        # then drops (reference semantics, utils/eval_metrics.py:51).
         return float("nan")
     import warnings
 
     with warnings.catch_warnings():
-        # a NaN input frame makes whole feature columns NaN; nanmean then
-        # warns "Mean of empty slice" on its way to the NaN result that
-        # the tracker's filtering drops (reference semantics) — the
-        # warning is expected noise for that contained case
+        # an all-NaN feature column still makes nanmean warn "Mean of
+        # empty slice" on its way to the NaN result the tracker drops —
+        # expected noise for that contained case
         warnings.simplefilter("ignore", RuntimeWarning)
         mu_d = np.nanmean(feats, axis=0)
-        cov_d = np.cov(feats, rowvar=False)
+        cov_d = np.cov(valid, rowvar=False)
     pooled = (cov_pris + cov_d) / 2.0
     d = mu_pris - mu_d
     inv = np.linalg.pinv(pooled)
@@ -182,39 +193,16 @@ def niqe(img, mu_pris, cov_pris):
 
 
 def register_if_available():
-    """Register 'niqe' as a host-side metric when params exist."""
+    """Register 'niqe' as a host-side metric when params exist (shared
+    containment wrapper: registry.make_host_nr_metric; min_side turns the
+    too-small-frame case into a loud trace-time error)."""
     if not params_available():
         return False
-    from evreal_tpu.metrics.registry import register
+    from evreal_tpu.metrics.registry import make_host_nr_metric, register
 
     mu, cov = load_params()
-
-    warned = []
-
-    def fn(img):
-        import jax
-
-        def host(im):
-            # Contain per-frame failures as NaN (dropped by the tracker's
-            # NaN filtering, eval_metrics.py:51) instead of raising: the
-            # fixed-shape pipeline also scores the zero-padded tail of a
-            # ragged final chunk, whose frames can be all-NaN after robust
-            # normalization — a raise there would kill the metric for the
-            # whole sequence, not just skip a synthetic frame.
-            try:
-                return np.float32(niqe(np.asarray(im), mu, cov))
-            except Exception as exc:  # noqa: BLE001
-                if not warned:
-                    warned.append(True)
-                    print(f"niqe failed on a frame ({exc}); scoring NaN")
-                return np.float32("nan")
-
-        # vmap_method: the harness always vmaps metric fns over the chunk
-        # (runner.metric_scores); the host feature extraction is serial
-        # anyway.
-        return jax.pure_callback(
-            host, np.zeros((), np.float32), img,
-            vmap_method="sequential")
-
-    register("niqe", fn, no_ref=True)
+    register("niqe",
+             make_host_nr_metric("niqe", lambda im: niqe(im, mu, cov),
+                                 min_side=96),
+             no_ref=True)
     return True

@@ -29,6 +29,8 @@ the reference's runtime PyIqaMetricFactory.
 
 import dataclasses
 
+import numpy as np
+
 
 @dataclasses.dataclass
 class MetricSpec:
@@ -69,6 +71,45 @@ _REGISTRY = {}
 def register(name, fn, no_ref=False, serial=False, params=None):
     _REGISTRY[name.lower()] = MetricSpec(name.lower(), fn, no_ref, serial,
                                          params)
+
+
+def make_host_nr_metric(name, score_fn, min_side=None):
+    """Jittable wrapper for a host-side (numpy) no-reference metric,
+    shared by niqe/brisque: a pure_callback whose per-frame failures score
+    NaN (dropped by the tracker's NaN filtering, reference
+    eval_metrics.py:51) instead of raising — the fixed-shape pipeline also
+    scores the zero-padded tail of a ragged final chunk, whose frames can
+    be all-NaN after robust normalization, and a raise there would kill
+    the metric for the whole sequence. ``min_side`` turns a SYSTEMATIC
+    failure (every frame too small for the metric's patch size) into a
+    loud trace-time error instead of an all-NaN column with one stdout
+    line — frame shapes are static at trace time."""
+    warned = []
+
+    def fn(img):
+        import jax
+
+        if min_side is not None and min(img.shape[-2:]) < min_side:
+            raise ValueError(
+                f"{name} needs frames >= {min_side} px per side, got "
+                f"{tuple(img.shape[-2:])} — every frame of this sequence "
+                f"would fail")
+
+        def host(im):
+            try:
+                return np.float32(score_fn(np.asarray(im)))
+            except Exception as exc:  # noqa: BLE001
+                if not warned:
+                    warned.append(True)
+                    print(f"{name} failed on a frame ({exc}); scoring NaN")
+                return np.float32("nan")
+
+        # vmap_method: the harness always vmaps metric fns over the chunk
+        # (runner.metric_scores); host feature extraction is serial anyway
+        return jax.pure_callback(host, np.zeros((), np.float32), img,
+                                 vmap_method="sequential")
+
+    return fn
 
 
 def names():

@@ -142,3 +142,46 @@ def test_niqe_registered_fn_nan_frame_contained(tmp_path, monkeypatch):
         assert np.isfinite(out[0]) and np.isnan(out[1])
     finally:
         registry._REGISTRY.pop("niqe", None)
+
+
+def test_niqe_partial_nan_rows_still_score():
+    """MATLAB/pyiqa pair nanmean with NANCOV (complete rows only): a frame
+    with some NaN patches must score from its valid patches, not lose the
+    whole frame (np.cov over the full matrix goes all-NaN from one bad
+    row — review finding)."""
+    import numpy as np
+
+    from evreal_tpu.metrics import niqe as niqe_mod
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0.2, 0.8, (288, 288)).astype(np.float32)
+    mu = np.zeros(36)
+    cov = np.eye(36)
+    full = niqe_mod.niqe(img, mu, cov)
+    assert np.isfinite(full)
+
+    # poison the interior of patch (0,0): the 7px MSCN filter spreads NaN
+    # ~3px, contaminating a few neighboring patch rows at scale 2, but a
+    # 3x3 patch grid keeps several rows fully valid
+    img_nan = img.copy()
+    img_nan[4:92, 4:92] = np.nan
+    feats = niqe_mod.niqe_features(img_nan)
+    nan_rows = np.isnan(feats).any(axis=1)
+    assert nan_rows.any() and (~nan_rows).sum() >= 2  # genuinely partial
+    score = niqe_mod.niqe(img_nan, mu, cov)
+    assert np.isfinite(score)  # scored from the remaining valid patches
+
+
+def test_niqe_too_small_frame_fails_at_trace():
+    """A sequence whose frames cannot fit one 96px patch must fail loudly
+    at trace time (registry validation), not produce an all-NaN column."""
+    import numpy as np
+    import pytest
+
+    from evreal_tpu.metrics.registry import make_host_nr_metric
+
+    fn = make_host_nr_metric("niqe", lambda im: 0.0, min_side=96)
+    import jax
+
+    with pytest.raises(ValueError, match="96 px"):
+        jax.eval_shape(fn, np.zeros((64, 64), np.float32))
