@@ -21,6 +21,7 @@ time, never at eval time.
 """
 
 import json
+import os
 import sys
 import types
 
@@ -105,17 +106,29 @@ def _sidecar_path(path):
 
 
 def save_params(path, flat, meta):
-    np.savez(path, **flat)
-    with open(_sidecar_path(path), "w", encoding="utf-8") as f:
+    """Atomic write: a conversion killed mid-np.savez (routine on this
+    machine — wedged-backend processes get killed) would otherwise leave a
+    truncated .npz that every later load_params hits as BadZipFile, with
+    no caller able to tell it from a real checkpoint; temp + os.replace
+    means the cache path only ever holds a complete file."""
+    s = str(path)
+    if not s.endswith(".npz"):
+        s += ".npz"
+    tmp = s + ".tmp.npz"  # np.savez appends .npz unless present
+    np.savez(tmp, **flat)
+    os.replace(tmp, s)
+    side_tmp = _sidecar_path(s) + ".tmp"
+    with open(side_tmp, "w", encoding="utf-8") as f:
         json.dump(meta, f, indent=1)
+    os.replace(side_tmp, _sidecar_path(s))
 
 
 def load_params(path):
     """Load a converted .npz into a nested jnp tree plus its meta dict."""
     import jax.numpy as jnp
 
-    data = np.load(path)
-    flat = {k: jnp.asarray(data[k]) for k in data.files}
+    with np.load(path) as data:  # close the fd (long-lived processes)
+        flat = {k: jnp.asarray(data[k]) for k in data.files}
     try:
         with open(_sidecar_path(path), encoding="utf-8") as f:
             meta = json.load(f)

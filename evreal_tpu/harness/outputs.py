@@ -19,16 +19,6 @@ def append_timestamp(path, description, timestamp):
         f.write("{} {:.15f}\n".format(description, timestamp))
 
 
-def append_result(path, description, result, is_int=False):
-    fmt = "{} {}\n" if is_int else "{} {:.5f}\n"
-    with open(path, "a", encoding="utf-8") as f:
-        if isinstance(result, (list, tuple)):
-            for idx, elem in zip(description, result):
-                f.write(fmt.format(idx, elem))
-        else:
-            f.write(fmt.format(description, result))
-
-
 def save_inferred_image(folder, image, idx):
     png_path = os.path.join(folder, "frame_{:010d}.png".format(idx))
     # uint8 input is already round(clip(img)*255) — the eval loops quantize
@@ -72,6 +62,13 @@ class AsyncImageWriter:
                 self._n_failed += 1
 
     def submit(self, folder, image, idx):
+        if self._err is not None:
+            # fail on the NEXT frame, not after the whole sequence: with a
+            # broken output path (disk full, permissions) the run would
+            # otherwise burn its entire device compute before close()
+            # finally raised
+            raise OSError(f"{self._n_failed} image write(s) failed; "
+                          f"first error: {self._err}") from self._err
         self._q.put((folder, image, idx))
 
     def close(self):

@@ -78,6 +78,12 @@ def _run_canary():
               f"({type(e).__name__}); falling back to per-chunk streaming")
         return
     elapsed = time.perf_counter() - t0
+    # NOTE: this is a round-trip rate (put + D2H fence + tunnel RTT), NOT
+    # pure H2D bandwidth — in a healthy window the ~70 ms fetch round-trip
+    # dominates the ~4 ms put, so ~27 MB/s here corresponds to the
+    # documented ~500-700 MB/s H2D state; only the collapsed state
+    # (~0.1 MB/s) reads anywhere near its true rate. The pass/fail budget
+    # below is calibrated on the same round-trip measure.
     _canary_mbps = buf.nbytes / 1e6 / max(elapsed, 1e-9)
     if elapsed > _CANARY_BUDGET_S:
         _window_slow = True

@@ -147,3 +147,41 @@ def test_equalize_local_native_matches_fallback():
         finally:
             native._lib = prev
         assert np.array_equal(fast, slow), (shape, radius)
+
+
+def test_async_writer_fails_fast_after_first_error(tmp_path):
+    """A broken output path must surface on the next submit, not after the
+    whole sequence's device compute (review finding)."""
+    import numpy as np
+    import pytest
+
+    from evreal_tpu.harness.outputs import AsyncImageWriter
+
+    w = AsyncImageWriter()
+    img = np.zeros((8, 8), np.uint8)
+    w.submit(str(tmp_path / "missing_dir"), img, 0)  # cv2 write fails
+    deadline = 50
+    with pytest.raises(OSError, match="image write"):
+        for _ in range(deadline):  # the worker thread needs a beat
+            import time
+
+            time.sleep(0.05)
+            w.submit(str(tmp_path / "missing_dir"), img, 1)
+    # close() still reports (and does not hang)
+    with pytest.raises(OSError):
+        w.close()
+
+
+def test_save_params_is_atomic(tmp_path):
+    """save_params must never leave a partial .npz at the cache path (a
+    truncated file would permanently poison checkpoint loading)."""
+    import numpy as np
+
+    from evreal_tpu.convert.torch_ckpt import load_params, save_params
+
+    p = str(tmp_path / "m.npz")
+    save_params(p, {"a.weight": np.ones((2, 2), np.float32)},
+                {"class": "FireNet", "kwargs": {}})
+    tree, meta = load_params(p)
+    assert meta["class"] == "FireNet"
+    assert not list(tmp_path.glob("*.tmp*"))  # no temp litter
