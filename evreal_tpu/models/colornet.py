@@ -32,15 +32,21 @@ class ColorRunner:
     (shared with the grayscale MethodRunner, includes event normalization)."""
 
     def __init__(self, model, params, height, width, voxel_stage,
-                 chunk_t=16):
+                 chunk_t=None):
+        import os
+
         self.model = model
         self.params = params
         self.h, self.w = height, width
         self.voxel_stage = voxel_stage
         # consumed by the harness loop (eval_method_on_sequence), which
         # packs and dispatches chunk_t windows per compiled call; the color
-        # model runs 5 sub-passes per window, so default smaller than the
-        # grayscale runner's 32
+        # model runs 5 sub-passes per window, so the default is smaller
+        # than the grayscale runner's 32. An explicit EVREAL_CHUNK_T
+        # applies here too (it previously only reached the grayscale
+        # runners, silently ignoring the knob for color runs).
+        if chunk_t is None:
+            chunk_t = int(os.environ.get("EVREAL_CHUNK_T", "16"))
         self.chunk_t = chunk_t
         enc = model.num_encoders
         self.crop_half = CropParams(width // 2, height // 2, enc)
@@ -69,8 +75,18 @@ class ColorRunner:
 
         def inner(params, state, bufs):
             voxels = voxel_stage(bufs)  # (T, H, W, B)
+            # even-crop before the Bayer slicing: at an odd sensor H or W
+            # the 0::2 and 1::2 slices differ by one, and the batch-4
+            # stack would fail at trace. Divergence note: the reference
+            # pads each channel to its own size (model.py:81-90), keeping
+            # the odd last row/col in the R/G passes; here the chroma
+            # passes drop it (the full-res grayscale pass — which carries
+            # the merged image's lightness — is unaffected).
+            voxels_even = voxels[:, : crop_half.height * 2,
+                                 : crop_half.width * 2, :]
             color_stack = jnp.stack(
-                [voxels[:, CHANNEL_SLICES[c][0], CHANNEL_SLICES[c][1], :]
+                [voxels_even[:, CHANNEL_SLICES[c][0],
+                             CHANNEL_SLICES[c][1], :]
                  for c in COLOR_ORDER], axis=1)  # (T, 4, H/2, W/2, B)
             color_stack = crop_half.pad(color_stack)
             gray = crop_full.pad(voxels)[:, None]  # (T, 1, ph, pw, B)

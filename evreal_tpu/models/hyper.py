@@ -11,6 +11,8 @@ The Bessel-root table shipped with the reference (bessel.npy: rows of
 reference's own filtering, so a tiny generated table is exact.
 """
 
+import functools
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -23,7 +25,10 @@ from evreal_tpu.nn.layers import (
 )
 
 
+@functools.lru_cache(maxsize=None)
 def _bessel_table(kmax=15, qmax=32):
+    # cached: 16 jn_zeros root solves, otherwise recomputed per scale per
+    # call on the 1-core host
     from scipy.special import jn_zeros
 
     rows = []

@@ -42,7 +42,14 @@ class UNetRecurrentCore:
                  num_bins, skip_type="sum", norm=None, use_upsample_conv=True,
                  recurrent_block_type=None, kernel_size=5,
                  channel_multiplier=2, use_dynamic_decoder=False,
-                 final_activation="none", num_output_channels=1, **_):
+                 final_activation="none", num_output_channels=1,
+                 **unexpected):
+        if unexpected:
+            # faithful to the reference (BaseUNet.__init__ raises TypeError
+            # on unknown unet_kwargs): a typo'd key must not silently fall
+            # back to a default architecture
+            raise TypeError("UNetRecurrent: unexpected unet_kwargs "
+                            f"{sorted(unexpected)}")
         self.base = int(base_num_channels)
         self.num_encoders = int(num_encoders)
         self.num_residual_blocks = int(num_residual_blocks)
@@ -119,15 +126,24 @@ class E2VIDRecurrent:
 
     def __init__(self, unet_kwargs=None, **kwargs):
         if unet_kwargs:
-            kwargs = dict(unet_kwargs)
+            # merge, explicit kwargs winning: a caller tweaking one field
+            # on top of a stored config must not have the override
+            # silently discarded
+            kwargs = {**dict(unet_kwargs), **kwargs}
         self.core = UNetRecurrentCore(**kwargs)
         self.num_bins = self.core.num_bins
         self.num_encoders = self.core.num_encoders
 
     def init_state(self, batch, h, w, dtype=jnp.float32):
+        # prev_recs carries what apply() stores: the 3-channel config
+        # splits image/flow (image stays 1-channel); any other
+        # num_output_channels threads through whole — the zero-state shape
+        # must match or the harness scan rejects the carry on chunk 1
+        img_ch = (1 if self.core.num_output_channels == 3
+                  else self.core.num_output_channels)
         return {
             "cells": self.core.init_cell_states(batch, h, w, dtype),
-            "prev_recs": jnp.zeros((batch, h, w, 1), dtype),
+            "prev_recs": jnp.zeros((batch, h, w, img_ch), dtype),
         }
 
     def apply(self, params, state, voxel):

@@ -22,6 +22,14 @@ def shift_image(x, dx, dy):
 
 
 def upsample_color_image(grayscale_highres, color_lowres_bgr):
+    h, w = grayscale_highres.shape
+    if color_lowres_bgr.shape[:2] != (h, w):
+        # odd sensor H/W: the chroma image is 2x the floor'd half
+        # resolution, one row/col short of the grayscale — stretch it to
+        # the full extent (the reference's own merge, color_utils.py:31,
+        # requires matching shapes and would fail here)
+        color_lowres_bgr = cv2.resize(color_lowres_bgr, dsize=(w, h),
+                                      interpolation=cv2.INTER_LINEAR)
     lab = cv2.cvtColor(src=color_lowres_bgr, code=cv2.COLOR_BGR2LAB)
     lab[:, :, 0] = grayscale_highres
     return cv2.cvtColor(src=lab, code=cv2.COLOR_LAB2BGR)

@@ -72,3 +72,44 @@ def test_colornet_matches_reference():
         assert d.mean() < 1.0, (t, d.mean())
         assert (d > 3).mean() < 0.02, (t, (d > 3).mean())
         assert d.max() <= 16, (t, d.max())
+
+
+def test_colornet_odd_resolution_runs():
+    """Odd sensor H/W: the 0::2 and 1::2 Bayer slices differ by one row/
+    col, which crashed the batch-4 stack at trace (review finding). The
+    chroma passes drop the odd last row/col (documented divergence); the
+    run must produce finite frames."""
+    h, w, nev = 33, 49, 1500
+    flat, meta = load_method_checkpoint("FireNet+", CKPT)
+    model = build_from_meta(meta)
+    params = nest(flat)
+    stage = make_voxel_stage(voxelize_scatter, 5, (h, w), event_norm=False)
+    runner = ColorRunner(model, params, h, w, stage)
+
+    xs, ys, ts, ps = random_events(nev, h, w, seed=7)
+    cap = 2048
+    bufs = {"xs": np.zeros((2, cap), np.int16),
+            "ys": np.zeros((2, cap), np.int16),
+            "ts": np.zeros((2, cap), np.float32),
+            "ps": np.zeros((2, cap), np.int8),
+            "count": np.full((2,), nev, np.int32)}
+    for t in range(2):
+        bufs["xs"][t, :nev] = xs
+        bufs["ys"][t, :nev] = ys
+        bufs["ts"][t, :nev] = np.asarray(ts, np.float32)
+        bufs["ps"][t, :nev] = np.where(np.asarray(ps) > 0, 1, -1)
+    state = runner.init_state()
+    state, cimgs, gimgs = runner.run(state, bufs)
+    merged = np.stack(runner.merge_host(np.asarray(cimgs),
+                                        np.asarray(gimgs)))
+    assert merged.shape == (2, h, w, 3)
+    assert np.isfinite(merged).all()
+
+
+def test_colornet_honors_chunk_t_env(monkeypatch):
+    monkeypatch.setenv("EVREAL_CHUNK_T", "4")
+    flat, meta = load_method_checkpoint("FireNet+", CKPT)
+    model = build_from_meta(meta)
+    stage = make_voxel_stage(voxelize_scatter, 5, (16, 16),
+                             event_norm=False)
+    assert ColorRunner(model, nest(flat), 16, 16, stage).chunk_t == 4
