@@ -53,14 +53,23 @@ def _read_rows(path):
     return indices, values
 
 
-def read_scores(directory, pattern="*", metric="lpips", skip_models=()):
-    """{model: {condition: mean score over all frames/sequences}}."""
+def read_scores(directory, pattern="*", metric="lpips", skip_models=(),
+                datasets=None):
+    """{model: {condition: mean score over all frames/sequences}}.
+    ``datasets``: optional dataset-name filter — without it --datasets
+    applied only to the event-rate plot while the sweep plots silently
+    aggregated every dataset."""
     scores = {}
     for cond_path in sorted(glob.glob(os.path.join(directory, pattern))):
         condition = os.path.basename(cond_path)
         for model_path in glob.glob(os.path.join(cond_path, "*", "*", "*")):
             if not os.path.isdir(model_path):
                 continue
+            if datasets is not None:
+                ds = os.path.basename(os.path.dirname(
+                    os.path.dirname(model_path)))
+                if ds not in datasets:
+                    continue
             model = os.path.basename(model_path)
             if model in skip_models:
                 continue
@@ -163,15 +172,21 @@ def main():
     ml = m.upper()
 
     plot_condition_sweep(
-        read_scores(args.outputs, "t*ms", m), "duration (ms)", ml,
+        read_scores(args.outputs, "t*ms", m, datasets=args.datasets),
+        "duration (ms)", ml,
         os.path.join(args.plot_dir, f"{m}_vs_duration.png"))
     plot_condition_sweep(
-        read_scores(args.outputs, "k*k", m), "# of events in groups [K]", ml,
+        read_scores(args.outputs, "k*k", m, datasets=args.datasets),
+        "# of events in groups [K]", ml,
         os.path.join(args.plot_dir, f"{m}_vs_events.png"))
     plot_condition_sweep(
-        read_scores(args.outputs, "kr*", m), "ratio of discarded frames", ml,
+        read_scores(args.outputs, "kr*", m, datasets=args.datasets),
+        "ratio of discarded frames", ml,
         os.path.join(args.plot_dir, f"{m}_vs_keepratio.png"),
-        transform=lambda x: 1.0 if x == "std" else 1 - float(x[2:]))
+        # 'std' can only appear if the pattern is widened to include the
+        # baseline dir; nothing is discarded there, so it plots at 0.0
+        # (the reference's own dead branch mapped it to 1.0)
+        transform=lambda x: 0.0 if x == "std" else 1 - float(x[2:]))
     plot_event_rate(
         read_event_rate_joined(os.path.join(args.outputs, "std"), m,
                                datasets=args.datasets), ml,

@@ -86,6 +86,7 @@ def _gelu(x):
 def _mha(x, p, prefix, num_heads):
     """Standard pre-projected multi-head self-attention over (B, N, C)
     with fused qkv (timm ViT block layout)."""
+    import jax
     import jax.numpy as jnp
 
     b, n, c = x.shape
@@ -94,8 +95,7 @@ def _mha(x, p, prefix, num_heads):
     qkv = qkv.reshape(b, n, 3, num_heads, hd).transpose(2, 0, 3, 1, 4)
     q, k, v = qkv[0], qkv[1], qkv[2]
     attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (hd ** -0.5)
-    attn = jnp.exp(attn - jnp.max(attn, -1, keepdims=True))
-    attn = attn / jnp.sum(attn, -1, keepdims=True)
+    attn = jax.nn.softmax(attn, axis=-1)
     out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
     out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
     return _linear(out, p, f"{prefix}.proj")
@@ -144,6 +144,7 @@ def _tablock(x, p, prefix):
     """x: (B, C, N); linears act on N; attention is C x C. Replicates the
     official forward exactly, including the (attn @ v).transpose(-2, -1)
     .reshape(B, C, N) layout quirk (maniqa_arch TABlock)."""
+    import jax
     import jax.numpy as jnp
 
     b, c, n = x.shape
@@ -151,8 +152,7 @@ def _tablock(x, p, prefix):
     k = _linear(x, p, f"{prefix}.c_k")
     v = _linear(x, p, f"{prefix}.c_v")
     attn = jnp.einsum("bcn,bdn->bcd", q, k) * (n ** -0.5)
-    attn = jnp.exp(attn - jnp.max(attn, -1, keepdims=True))
-    attn = attn / jnp.sum(attn, -1, keepdims=True)
+    attn = jax.nn.softmax(attn, axis=-1)
     out = jnp.einsum("bcd,bdn->bcn", attn, v)
     out = jnp.swapaxes(out, -2, -1).reshape(b, c, n)  # official quirk
     return out + x
@@ -188,6 +188,7 @@ def _shift_mask(hw, ws, shift):
 
 def _window_attention(x, p, prefix, ws, mask):
     """x: (B, nW, N, C) window tokens; relative-position-biased MHA."""
+    import jax
     import jax.numpy as jnp
 
     b, nw, n, c = x.shape
@@ -203,8 +204,7 @@ def _window_attention(x, p, prefix, ws, mask):
     attn = attn + bias
     if mask is not None:
         attn = attn + mask[None, :, None]
-    attn = jnp.exp(attn - jnp.max(attn, -1, keepdims=True))
-    attn = attn / jnp.sum(attn, -1, keepdims=True)
+    attn = jax.nn.softmax(attn, axis=-1)
     out = jnp.einsum("bwhqk,bwhkd->bwhqd", attn, v)
     out = out.transpose(0, 1, 3, 2, 4).reshape(b, nw, n, c)
     return _linear(out, p, f"{prefix}.proj")
@@ -342,16 +342,23 @@ def register_if_available():
 
     # parse once, here: inside the metric fn a malformed value would
     # surface at trace time as a contained "metric dropped" traceback, and
-    # later env changes would be silently ignored by jit caching anyway —
-    # fail fast at registration like EVREAL_BATCH_N (runner.py)
-    raw = os.environ.get("EVREAL_MANIQA_CROPS", "20")
-    try:
-        n_crops = int(raw)
-    except ValueError:
-        raise ValueError(
-            f"EVREAL_MANIQA_CROPS={raw!r} is not an integer") from None
-    if n_crops < 1:
-        raise ValueError(f"EVREAL_MANIQA_CROPS={n_crops} must be >= 1")
+    def _n_crops():
+        # validated at first TRACE, not at registration: registration runs
+        # for every eval via _ensure_builtins, and a stale malformed
+        # export must not kill an eval that never requested maniqa (the
+        # per-metric containment contract). When maniqa IS requested, the
+        # trace-time validation raises loudly and the registry drops it
+        # with the message. Later env changes are pinned by jit caching
+        # either way.
+        raw = os.environ.get("EVREAL_MANIQA_CROPS", "20")
+        try:
+            n_crops = int(raw)
+        except ValueError:
+            raise ValueError(
+                f"EVREAL_MANIQA_CROPS={raw!r} is not an integer") from None
+        if n_crops < 1:
+            raise ValueError(f"EVREAL_MANIQA_CROPS={n_crops} must be >= 1")
+        return n_crops
 
     meta = {}
 
@@ -362,7 +369,7 @@ def register_if_available():
         return params
 
     def fn(params, img):
-        return maniqa(params, img, n_crops=n_crops,
+        return maniqa(params, img, n_crops=_n_crops(),
                       window_size=meta.get("window", 4),
                       scale=meta.get("scale", 0.8))
 

@@ -35,16 +35,30 @@ def _host_batch_fn(metric, no_ref):
         imgs = np.asarray(arrays[0], np.float32)
         lead = imgs.shape[:-2]
         flat = imgs.reshape((-1,) + imgs.shape[-2:])
-        t = torch.from_numpy(np.repeat(flat[:, None], 3, axis=1))
+        rflat = None
+        if not no_ref:
+            refs = np.asarray(arrays[1], np.float32)
+            rflat = refs.reshape((-1,) + refs.shape[-2:])
+        # mini-batch like the reference's queue-of-4 (eval_metrics.py:
+        # 119-133): the group runner's double vmap flattens N*T frames
+        # here, and one unbounded torch forward of a deep metric over
+        # 100s of frames can OOM the 1-core host process — not contained
+        # as a per-metric drop
+        outs = []
+        step = 4
         with torch.no_grad():
-            if no_ref:
-                score = metric(t)
-            else:
-                refs = np.asarray(arrays[1], np.float32)
-                r = refs.reshape((-1,) + refs.shape[-2:])
-                score = metric(t, torch.from_numpy(
-                    np.repeat(r[:, None], 3, axis=1)))
-        out = np.asarray(score.detach().cpu(), np.float32).reshape(-1)
+            for i in range(0, flat.shape[0], step):
+                t = torch.from_numpy(
+                    np.repeat(flat[i:i + step, None], 3, axis=1))
+                if no_ref:
+                    score = metric(t)
+                else:
+                    score = metric(t, torch.from_numpy(
+                        np.repeat(rflat[i:i + step, None], 3, axis=1)))
+                outs.append(np.asarray(score.detach().cpu(),
+                                       np.float32).reshape(-1))
+        out = (np.concatenate(outs) if outs
+               else np.zeros((0,), np.float32))
         return out.reshape(lead)
 
     return host_batch

@@ -292,20 +292,27 @@ def test_maniqa_through_harness_vmap(model_and_params):
     np.testing.assert_allclose(vals, solo, atol=1e-5)
 
 
-def test_malformed_crops_env_fails_fast(tmp_path, monkeypatch,
-                                        model_and_params):
-    """EVREAL_MANIQA_CROPS is validated once at registration (like
-    EVREAL_BATCH_N) — not at trace time, where it would surface as a
-    contained 'metric dropped' and later env changes would be ignored by
-    jit caching."""
+def test_malformed_crops_env_contained_at_trace(tmp_path, monkeypatch,
+                                                model_and_params):
+    """EVREAL_MANIQA_CROPS is validated at first TRACE, not registration:
+    registration runs for every eval via the registry's _ensure_builtins,
+    and a stale malformed export must not kill an eval that never
+    requested maniqa (per-metric containment contract). When maniqa IS
+    requested, the trace raises loudly and the registry drops it with the
+    message."""
     net, _ = model_and_params
     arrs = {k: v.detach().numpy() for k, v in net.state_dict().items()}
     path = tmp_path / "maniqa.npz"
     np.savez(path, **arrs)
     monkeypatch.setenv("EVREAL_MANIQA_PARAMS", str(path))
-    monkeypatch.setenv("EVREAL_MANIQA_CROPS", "twenty")
-    with pytest.raises(ValueError, match="EVREAL_MANIQA_CROPS"):
-        m.register_if_available()
-    monkeypatch.setenv("EVREAL_MANIQA_CROPS", "0")
-    with pytest.raises(ValueError, match="EVREAL_MANIQA_CROPS"):
-        m.register_if_available()
+    for bad in ("twenty", "0"):
+        monkeypatch.setenv("EVREAL_MANIQA_CROPS", bad)
+        assert m.register_if_available()  # registration must NOT raise
+        from evreal_tpu.metrics import registry
+
+        spec = registry._REGISTRY["maniqa"]
+        import jax
+
+        with pytest.raises(ValueError, match="EVREAL_MANIQA_CROPS"):
+            jax.eval_shape(spec.fn, spec.loaded(),
+                           np.zeros((32, 32), np.float32))
